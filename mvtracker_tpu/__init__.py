@@ -1,0 +1,23 @@
+"""mvtracker_tpu: a TPU-native multi-view 3D point-tracking framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+reference MVTracker system (ETH-VLG "Multi-View 3D Point Tracking",
+arXiv 2508.21060, plus its DROID robot-data factory fork).
+
+Layers (mirroring the reference's decomposition, re-architected TPU-first):
+
+- ``utils``       — geometry core: camera math, projections, embeddings (L0)
+- ``ops``         — hot ops: batched kNN, grouped correlation, splatting (L1)
+- ``models``      — feature encoder, update transformer, trackers (L2-L3)
+- ``datasets``    — Datapoint schema, Kubric/Panoptic/DexYCB/TapVid loaders (L4)
+- ``evaluation``  — TAP-Vid-style 3D metrics + evaluator loop (L5-L6)
+- ``training``    — losses, optax train step, orbax checkpoints (L7)
+- ``parallel``    — mesh/sharding utilities for multi-chip scale-out
+- ``viz``         — mp4 track-overlay rendering (L9)
+- ``droid``       — DROID robot episode data factory (L11)
+
+Everything in the compute path is static-shaped, jit-compatible, and designed
+for `jax.sharding.Mesh` SPMD execution over TPU ICI/DCN.
+"""
+
+__version__ = "0.1.0"

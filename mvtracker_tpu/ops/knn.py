@@ -1,0 +1,221 @@
+"""Batched k-nearest-neighbor search — the hottest non-matmul op.
+
+The reference uses an external CUDA kernel (`pointops.knn_query`, dispatched
+at `mvtracker/mvtracker.py:26-90`) with a `torch.cdist`+`topk` fallback. On
+TPU we re-design it around the MXU:
+
+    dist^2(q, r) = |q|^2 - 2 q.r + |r|^2
+
+so the dominant term is a batched matmul. Two interchangeable backends:
+
+- ``knn_xla``: distances as one fused matmul + ``lax.top_k``, chunked over
+  queries so the [M, N] distance tile stays bounded in HBM.
+- ``knn_pallas``: a Pallas kernel that streams reference-point tiles through
+  VMEM and maintains a running top-k per query, never materializing the
+  full distance matrix in HBM.
+
+Both return (dists, indices) with shapes [B, M, k], sorted ascending,
+matching the reference contract (`mvtracker/mvtracker.py:42-50`). Distances
+are Euclidean (not squared). Ties may be broken differently than the CUDA
+kernel; callers must not rely on tie order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30  # plain python float so pallas kernels do not capture a traced const
+
+
+def _sq_dists(query: jax.Array, ref: jax.Array) -> jax.Array:
+    """Squared distances [B, M, N] from [B, M, 3] x [B, N, 3], fp32.
+
+    Computed as |q|^2 - 2 q.r + |r|^2 with the cross term on the MXU.
+    """
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    qn = jnp.sum(query * query, axis=-1)  # [B, M]
+    rn = jnp.sum(ref * ref, axis=-1)  # [B, N]
+    cross = jax.lax.dot_general(
+        query,
+        ref,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, M, N]
+    d2 = qn[:, :, None] - 2.0 * cross + rn[:, None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def knn_reference(ref: jax.Array, query: jax.Array, k: int):
+    """Plain full-matrix kNN; ground truth for tests. [B,N,3],[B,M,3] -> [B,M,k]."""
+    d2 = _sq_dists(query, ref)
+    neg_d2, idx = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(-neg_d2), idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
+def knn_xla(ref: jax.Array, query: jax.Array, k: int, query_chunk: int = 512):
+    """Chunked XLA kNN: full distances per query chunk, then lax.top_k.
+
+    The chunking bounds peak HBM use to O(B * query_chunk * N) while keeping
+    each distance computation a single large MXU matmul.
+    """
+    b, m, _ = query.shape
+    if m <= query_chunk:
+        return knn_reference(ref, query, k)
+
+    pad = (-m) % query_chunk
+    query_p = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (m + pad) // query_chunk
+    query_c = query_p.reshape(b, n_chunks, query_chunk, 3).transpose(1, 0, 2, 3)
+
+    def body(_, q):
+        d, i = knn_reference(ref, q, k)
+        return None, (d, i)
+
+    _, (dists, idx) = jax.lax.scan(body, None, query_c)
+    dists = dists.transpose(1, 0, 2, 3).reshape(b, m + pad, k)[:, :m]
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, m + pad, k)[:, :m]
+    return dists, idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming kernel
+# ---------------------------------------------------------------------------
+
+
+def _knn_kernel(q_ref, r_ref, dist_out, idx_out, *, k: int, ref_tile: int, n_real: int):
+    """Grid: (B, M_tiles, N_tiles); N_tiles is the innermost (sequential)
+    reduction dimension. Maintains a running top-k in the output refs.
+
+    q_ref:   [TQ, 8]   query coords, xyz padded with zeros to 8 lanes... no:
+             coords come in as [TQ, 128]-padded blocks; see caller.
+    """
+    nt = pl.program_id(2)
+
+    # Load tiles; coords are stored transposed as [3, M] / [3, N] so the
+    # point axis lies along VMEM lanes. Block shapes carry a leading
+    # singleton batch dim.
+    q = q_ref[0]  # [3, TQ]
+    r = r_ref[0]  # [3, TN]
+
+    # Squared distances via MXU: [TQ, TN]
+    cross = jax.lax.dot_general(
+        q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qn = jnp.sum(q * q, axis=0)[:, None]  # [TQ, 1]
+    rn = jnp.sum(r * r, axis=0)[None, :]  # [1, TN]
+    d2 = jnp.maximum(qn - 2.0 * cross + rn, 0.0)  # [TQ, TN]
+
+    # Mask out zero-padding of the reference set.
+    global_col = nt * ref_tile + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(global_col < n_real, d2, _BIG)
+
+    @pl.when(nt == 0)
+    def _init():
+        dist_out[0] = jnp.full_like(dist_out[0], _BIG)
+        idx_out[0] = jnp.zeros_like(idx_out[0])
+
+    # Merge the tile into the running top-k with k min-extractions.
+    best_d = dist_out[0]  # [TQ, k_pad]
+    best_i = idx_out[0]
+
+    d = jnp.concatenate([best_d, d2], axis=1)  # [TQ, k_pad + TN]
+    i = jnp.concatenate([best_i, global_col], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+
+    new_d = []
+    new_i = []
+    for _ in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)  # [TQ, 1]
+        first = jnp.min(jnp.where(d == m, cols, jnp.int32(2**30)), axis=1, keepdims=True)
+        chosen = cols == first
+        sel_i = jnp.sum(jnp.where(chosen, i, 0), axis=1, keepdims=True)  # [TQ, 1]
+        new_d.append(m)
+        new_i.append(sel_i)
+        d = jnp.where(chosen, _BIG, d)
+
+    k_pad = best_d.shape[1]
+    fill_d = jnp.full((best_d.shape[0], k_pad - k), _BIG, jnp.float32)
+    fill_i = jnp.zeros((best_d.shape[0], k_pad - k), jnp.int32)
+    dist_out[0] = jnp.concatenate(new_d + [fill_d], axis=1)
+    idx_out[0] = jnp.concatenate(new_i + [fill_i], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_tile", "ref_tile", "interpret"))
+def knn_pallas(
+    ref: jax.Array,
+    query: jax.Array,
+    k: int,
+    query_tile: int = 256,
+    ref_tile: int = 2048,
+    interpret: bool = False,
+):
+    """Streaming Pallas kNN. ref [B,N,3], query [B,M,3] -> ([B,M,k], [B,M,k]).
+
+    Points are laid out transposed ([3, n]) so the point axis maps to VMEM
+    lanes; the cross-term runs on the MXU; the running top-k lives in the
+    (revisited) output block across the sequential N-tile grid dimension.
+    """
+    b, n, _ = ref.shape
+    _, m, _ = query.shape
+
+    qpad = (-m) % query_tile
+    rpad = (-n) % ref_tile
+    # Transpose to [B, 3, n] and zero-pad points.
+    q_t = jnp.pad(query.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, qpad)))
+    r_t = jnp.pad(ref.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, rpad)))
+
+    mp = m + qpad
+    np_ = n + rpad
+    k_pad = max(k, 128)  # last-dim alignment for the output block
+
+    grid = (b, mp // query_tile, np_ // ref_tile)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, ref_tile=ref_tile, n_real=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, query_tile), lambda bi, mi, ni: (bi, 0, mi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, ref_tile), lambda bi, mi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi, ni: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi, ni: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_t, r_t)
+
+    return jnp.sqrt(dist[:, :m, :k]), idx[:, :m, :k]
+
+
+def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "xla"):
+    """Batched kNN dispatch; mirrors the reference's `knn()` contract
+    (`mvtracker/mvtracker.py:26-90`): returns (dists [B,M,k], idx [B,M,k]),
+    sorted by ascending distance.
+    """
+    if backend == "xla":
+        return knn_xla(ref, query, k)
+    if backend == "pallas":
+        return knn_pallas(ref, query, k)
+    if backend == "reference":
+        return knn_reference(ref, query, k)
+    raise ValueError(f"unknown knn backend: {backend}")
