@@ -1,0 +1,373 @@
+"""MVTracker core model (L3): sliding-window multi-view 3D point tracking.
+
+TPU-native re-design of the reference tracker
+(`mvtracker/models/core/mvtracker/mvtracker.py:93-732`). The math is the
+same — CNN features per view, fused world-space feature clouds per pyramid
+level, kNN + grouped correlation around each track point, and a factorized
+space/time transformer predicting coordinate deltas over a sliding temporal
+window — but the orchestration is rebuilt for XLA's compilation model:
+
+- **No dynamic shapes.** The reference sorts queries by start time and grows
+  an active point set window by window (`mvtracker.py:513-541`); here all N
+  tracks are carried through every window with mask algebra: an `active`
+  mask gates attention (virtual tokens cannot see inactive tracks), output
+  writes, and the loss. Results for the active set are equivalent.
+- **No rolling feature cache.** The reference recomputes CNN features per
+  window with overlap reuse to bound GPU memory (`mvtracker.py:546-574`);
+  on TPU we batch the encoder over ALL (view, frame) images at once — one
+  big MXU-friendly conv batch — and slice windows out of precomputed
+  per-level clouds.
+- **Queries are never sorted.** Window chaining is expressed with
+  per-point masks, so outputs stay in input order (the reference needs
+  `sort_inds`/`inv_sort_inds`, `mvtracker.py:513-525`).
+- Matrix inversions run in fp32 exactly like the reference
+  (`mvtracker.py:288-291`); correlation/kNN geometry stays fp32 while conv
+  and transformer compute can be bf16.
+
+The model operates on a single scene (no batch axis) — batching is done
+with `jax.vmap` outside, which is both simpler and what pjit/shard_map
+want. Channels-last layouts throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvtracker_tpu.models.encoder import BasicEncoder
+from mvtracker_tpu.models.updateformer import EfficientUpdateFormer
+from mvtracker_tpu.ops import corr as corr_ops
+from mvtracker_tpu.ops import knn as knn_ops
+from mvtracker_tpu.utils import embeddings as emb
+from mvtracker_tpu.utils import geometry as geo
+
+
+def window_starts(num_frames: int, window_len: int) -> list[int]:
+    """Static sliding-window start frames; mirrors the reference loop
+    condition `while w_idx_start < num_frames - S // 2` with hop S/2
+    (`mvtracker/mvtracker.py:537,696`), anchored at frame 0."""
+    hop = window_len // 2
+    return list(range(0, max(num_frames - hop, 1), hop))
+
+
+class MVTracker(nn.Module):
+    """Multi-view 3D point tracker.
+
+    Hyperparameters mirror the reference defaults
+    (`mvtracker/mvtracker.py:94-128`).
+    """
+
+    sliding_window_len: int = 12
+    stride: int = 4
+    fmaps_dim: int = 128
+    add_space_attn: bool = True
+    num_heads: int = 6
+    hidden_size: int = 384
+    space_depth: int = 6
+    time_depth: int = 6
+    num_virtual_tracks: int = 64
+    corr_n_groups: int = 1
+    corr_n_levels: int = 4
+    corr_neighbors: int = 16
+    corr_add_neighbor_offset: bool = True
+    corr_add_neighbor_xyz: bool = False
+    flow_embed_dim: int = 64
+    knn_backend: str = "xla"
+
+    @property
+    def updateformer_input_dim(self) -> int:
+        """Input feature dim; mirrors reference `mvtracker.py:130-149`."""
+        return (
+            (self.flow_embed_dim + 1) * 3
+            + self.corr_neighbors
+            * self.corr_n_levels
+            * (
+                self.corr_n_groups
+                + 3 * int(self.corr_add_neighbor_offset)
+                + 3 * int(self.corr_add_neighbor_xyz)
+            )
+            + self.fmaps_dim
+            + 1
+            + 1
+        )
+
+    def setup(self):
+        self.fnet = BasicEncoder(output_dim=self.fmaps_dim, stride=self.stride)
+        self.updateformer = EfficientUpdateFormer(
+            space_depth=self.space_depth,
+            time_depth=self.time_depth,
+            input_dim=self.updateformer_input_dim,
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            output_dim=3 + self.fmaps_dim,
+            mlp_ratio=4.0,
+            add_space_attn=self.add_space_attn,
+            num_virtual_tracks=self.num_virtual_tracks,
+        )
+        # Feature update head (reference `mvtracker.py:178-180`): GroupNorm(1,C)
+        # == LayerNorm with affine at eps 1e-5, then Linear+GELU.
+        self.ffeats_norm = nn.LayerNorm(epsilon=1e-5)
+        self.ffeats_updater = nn.Dense(self.fmaps_dim)
+        self.vis_predictor = nn.Dense(1)
+
+    # ------------------------------------------------------------------
+    # Sub-computations
+    # ------------------------------------------------------------------
+
+    def compute_fmaps(self, rgbs: jax.Array) -> jax.Array:
+        """Encode all frames of all views at once.
+
+        rgbs: [V, T, H, W, 3] in [0, 255]. Returns [V, T, H/s, W/s, C].
+        (Reference computes this per window with a rolling cache,
+        `mvtracker.py:546-574`; here it is one batched conv stack.)
+        """
+        v, t, h, w, _ = rgbs.shape
+        x = 2.0 * (rgbs.reshape(v * t, h, w, 3) / 255.0) - 1.0
+        fmaps = self.fnet(x)
+        return fmaps.reshape(v, t, h // self.stride, w // self.stride, self.fmaps_dim)
+
+    def _build_clouds(self, fmaps, depths_strided, intrs, extrs):
+        """Per-level fused world-space clouds for the full video.
+
+        Returns list over levels of (xyz [T, P_l, 3], fvec [T, P_l, C]).
+        """
+        clouds = []
+        for lvl in range(self.corr_n_levels):
+            xyz, fvec = geo.init_pointcloud_from_rgbd(
+                fmaps[None],  # [1, V, T, h, w, C]
+                depths_strided[None],
+                intrs[None],
+                extrs[None],
+                stride=self.stride,
+                level=lvl,
+            )
+            clouds.append((xyz, fvec))  # [T, P_l, 3], [T, P_l, C]
+        return clouds
+
+    def _feat_init(self, cloud0_xyz, cloud0_fvec, query_t, query_xyz):
+        """Per-query feature init: k=1 NN lookup into the level-0 cloud of
+        each query's start frame (reference `mvtracker.py:606-645`).
+
+        cloud0_*: [T, P, 3/C]; query_t: [N] int; query_xyz: [N, 3].
+        Returns [N, C].
+        """
+        t = cloud0_xyz.shape[0]
+        n = query_xyz.shape[0]
+        # kNN of every query against every frame's cloud (batch = frames),
+        # then select each query's own start frame. T*N*P distance work is
+        # one batched MXU matmul — cheaper than dynamic per-frame grouping.
+        queries = jnp.broadcast_to(query_xyz[None], (t, n, 3))
+        _, idx = knn_ops.knn(cloud0_xyz, queries, 1, backend=self.knn_backend)
+        fvec = corr_ops.gather_neighbors(cloud0_fvec, idx)[:, :, 0]  # [T, N, C]
+        return jnp.take_along_axis(fvec, query_t[None, :, None], axis=0)[0]  # [N, C]
+
+    def forward_iteration(
+        self,
+        clouds_w,  # list over levels of (xyz [S, P_l, 3], fvec [S, P_l, C])
+        coords_init,  # [S, N, 3]
+        vis_init,  # [S, N]
+        track_mask,  # [S, N] float (the transformer input feature)
+        active,  # [N] bool — tracks visible to the virtual tokens
+        feat_init,  # [N, C]
+        iters: int,
+    ):
+        """Iterative refinement within one window.
+
+        Mirrors reference `forward_iteration` (`mvtracker.py:244-410`) with
+        the active set expressed as an attention mask.
+        """
+        s, n, _ = coords_init.shape
+        c = self.fmaps_dim
+        d_in = self.updateformer_input_dim
+
+        # Positional embedding of the initial coords (first frame), rounded
+        # up to a multiple of 6 then truncated (reference `mvtracker.py:324-331`).
+        embed_dim = d_in if d_in % 6 == 0 else d_in + 6 - d_in % 6
+        pos_embed = emb.sincos_3d(embed_dim, coords_init[0])[:, :d_in]  # [N, d_in]
+
+        # Time embedding over normalized window time (reference `mvtracker.py:333-344`).
+        t_dim = d_in if d_in % 2 == 0 else d_in + 1
+        times = jnp.arange(s, dtype=jnp.float32) / s
+        times_embed = emb.sincos_1d(t_dim, times)[:, :d_in]  # [S, d_in]
+
+        coords = coords_init
+        ffeats = jnp.broadcast_to(feat_init[None], (s, n, c))
+        mask_and_vis = jnp.stack([track_mask, vis_init], axis=-1)  # [S, N, 2]
+
+        coord_predictions = []
+        for _ in range(iters):
+            coords = jax.lax.stop_gradient(coords)
+
+            fcorrs = []
+            for lvl in range(self.corr_n_levels):
+                xyz_l, fvec_l = clouds_w[lvl]
+                _, idx = knn_ops.knn(
+                    xyz_l, coords, self.corr_neighbors, backend=self.knn_backend
+                )
+                fc = corr_ops.corr_sample(
+                    xyz_l,
+                    fvec_l,
+                    ffeats,
+                    coords,
+                    idx,
+                    groups=self.corr_n_groups,
+                    add_neighbor_offset=self.corr_add_neighbor_offset,
+                    add_neighbor_xyz=self.corr_add_neighbor_xyz,
+                )  # [S, N, K, F]
+                fcorrs.append(fc.reshape(s, n, -1))
+            fcorrs = jnp.concatenate(fcorrs, axis=-1)  # [S, N, LRR]
+
+            flows = coords - coords[0:1]  # [S, N, 3]
+            flows_emb = emb.coord_embedding_3d(flows, self.flow_embed_dim)  # [S,N,195]
+
+            x = jnp.concatenate([flows_emb, fcorrs, ffeats, mask_and_vis], axis=-1)
+            x = x + pos_embed[None] + times_embed[:, None]
+            x = x.transpose(1, 0, 2)[None]  # [1, N, S, D]
+
+            delta = self.updateformer(x, track_mask=active[None])[0]  # [N, S, 3+C]
+            delta = delta.transpose(1, 0, 2)  # [S, N, 3+C]
+
+            d_coord = delta[..., :3]
+            # Reference order (`mvtracker.py:179,394-396`): GroupNorm(1,C)
+            # -> Linear -> GELU.
+            d_feats = nn.gelu(
+                self.ffeats_updater(self.ffeats_norm(delta[..., 3:])), approximate=False
+            )
+            coords = coords + d_coord
+            ffeats = ffeats + d_feats
+            coord_predictions.append(coords)
+
+        vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
+        return coord_predictions, vis_logits
+
+    # ------------------------------------------------------------------
+    # Full forward
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        rgbs: jax.Array,  # [V, T, H, W, 3], 0..255
+        depths: jax.Array,  # [V, T, H, W]
+        query_points: jax.Array,  # [N, 4] (t, x, y, z) world-space
+        intrs: jax.Array,  # [V, T, 3, 3]
+        extrs: jax.Array,  # [V, T, 3, 4]
+        iters: int = 4,
+        is_train: bool = False,
+    ) -> dict[str, Any]:
+        v, t, h, w, _ = rgbs.shape
+        n = query_points.shape[0]
+        s = self.sliding_window_len
+        hop = s // 2
+
+        query_t = query_points[:, 0].astype(jnp.int32)  # [N]
+        query_xyz = query_points[:, 1:]  # [N, 3]
+
+        fmaps = self.compute_fmaps(rgbs)  # [V, T, h, w, C]
+        depths_strided = depths[:, :, :: self.stride, :: self.stride]  # [V, T, h, w]
+
+        clouds = self._build_clouds(fmaps, depths_strided, intrs, extrs)
+        feat_init = self._feat_init(clouds[0][0], clouds[0][1], query_t, query_xyz)
+
+        starts = window_starts(t, s)
+        n_wind = len(starts)
+
+        traj = jnp.zeros((t, n, 3), jnp.float32)
+        vis = jnp.zeros((t, n), jnp.float32)
+
+        coords_last = None  # [S, N, 3] predictions of the previous window
+        vis_last = None  # [S, N] logits of the previous window
+
+        train_coords = []  # per window: [iters, S, N, 3]
+        train_vis = []  # per window: [S, N]
+        window_meta = []
+
+        for wi, w_start in enumerate(starts):
+            frame_idx = np.minimum(np.arange(w_start, w_start + s), t - 1)  # static
+            frame_t = jnp.asarray(frame_idx)  # [S]
+            s_local = int(min(s, t - w_start))
+
+            # Active set for this window (reference p_idx_end: `mvtracker.py:538-541`).
+            active = query_t < w_start + s  # [N]
+            # Chained set: processed in a previous window.
+            chained = query_t < w_start if wi > 0 else jnp.zeros((n,), bool)
+
+            # --- coords/vis init with window chaining (`mvtracker.py:647-655`).
+            base_coords = jnp.broadcast_to(query_xyz[None], (s, n, 3))
+            base_vis = jnp.full((s, n), 10.0, jnp.float32)
+            if wi == 0:
+                coords_init = base_coords
+                vis_init = base_vis
+            else:
+                prev_tail = coords_last[hop:]  # [S/2, N, 3]
+                chained_coords = jnp.concatenate(
+                    [prev_tail, jnp.broadcast_to(prev_tail[-1:], (s - hop, n, 3))], axis=0
+                )
+                prev_vis_tail = vis_last[hop:]
+                chained_vis = jnp.concatenate(
+                    [prev_vis_tail, jnp.broadcast_to(prev_vis_tail[-1:], (s - hop, n))],
+                    axis=0,
+                )
+                coords_init = jnp.where(chained[None, :, None], chained_coords, base_coords)
+                vis_init = jnp.where(chained[None, :], chained_vis, base_vis)
+
+            # --- track-mask feature. The reference zeroes the global mask for
+            # frames consumed by earlier windows (`mvtracker.py:695`), which
+            # reduces to: cutoff = query_t for the first window, else
+            # max(query_t, w_start + S/2).
+            if wi == 0:
+                cutoff = query_t
+            else:
+                cutoff = jnp.maximum(query_t, w_start + hop)
+            track_mask = (frame_t[:, None] >= cutoff[None, :]).astype(jnp.float32)
+
+            clouds_w = [
+                (xyz[frame_idx], fvec[frame_idx]) for (xyz, fvec) in clouds
+            ]
+
+            coord_preds, vis_logits = self.forward_iteration(
+                clouds_w,
+                coords_init,
+                vis_init,
+                track_mask,
+                active,
+                feat_init,
+                iters=iters,
+            )
+
+            coords_last = coord_preds[-1]
+            vis_last = vis_logits
+
+            # --- write results for real frames of this window, active points
+            # only (`mvtracker.py:692-693`).
+            upd = jnp.where(active[None, :, None], coords_last[:s_local], traj[w_start : w_start + s_local])
+            traj = jax.lax.dynamic_update_slice(traj, upd, (w_start, 0, 0))
+            upd_v = jnp.where(
+                active[None, :], jax.nn.sigmoid(vis_logits[:s_local]), vis[w_start : w_start + s_local]
+            )
+            vis = jax.lax.dynamic_update_slice(vis, upd_v, (w_start, 0))
+
+            if is_train:
+                train_coords.append(jnp.stack(coord_preds))  # [iters, S, N, 3]
+                train_vis.append(vis_logits)
+                window_meta.append(
+                    dict(
+                        start=w_start,
+                        frame_idx=frame_idx,
+                        s_local=s_local,
+                        active=active,
+                    )
+                )
+
+        out = {"traj": traj, "vis": vis, "feat_init": feat_init}
+        if is_train:
+            out["train_data"] = {
+                "coord_predictions": jnp.stack(train_coords),  # [W, iters, S, N, 3]
+                "vis_predictions": jnp.stack(train_vis),  # [W, S, N]
+                "window_starts": np.asarray(starts),
+                "window_active": jnp.stack([m["active"] for m in window_meta]),  # [W, N]
+            }
+        return out

@@ -1,0 +1,156 @@
+"""Training losses (L7).
+
+Numerics mirror the reference losses (`mvtracker/models/core/losses.py:22-73`)
+and their assembly (`mvtracker/cli/train.py:78-229`), adapted to the static
+stacked-window prediction format produced by
+`mvtracker_tpu.models.mvtracker.MVTracker(is_train=True)`:
+
+- predictions come as [W, iters, S, N, 3] / [W, S, N] with per-window active
+  masks, instead of the reference's Python lists over a dynamic point set;
+- ground truth is sliced per window with clamped frame indices, with padded
+  frames and inactive points removed via the validity mask (masked means
+  make this exactly equivalent to the reference's variable-length slices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvtracker_tpu.utils.geometry import reduce_masked_mean
+
+
+def window_gt(
+    gt: jax.Array,  # [T, ...] per-frame ground truth
+    window_starts: np.ndarray,  # [W] static
+    window_len: int,
+) -> jax.Array:
+    """Slice per-frame GT into [W, S, ...] windows with clamped frame indices."""
+    t = gt.shape[0]
+    idx = np.minimum(
+        window_starts[:, None] + np.arange(window_len)[None, :], t - 1
+    )  # [W, S]
+    return gt[idx]
+
+
+def window_validity(
+    valid: jax.Array,  # [T, N] bool/float — GT per-frame track validity
+    query_t: jax.Array,  # [N]
+    window_starts: np.ndarray,
+    window_len: int,
+    window_active: jax.Array,  # [W, N] bool
+    num_frames: int,
+) -> jax.Array:
+    """[W, S, N] validity: GT-valid AND t >= query_t AND real frame AND active.
+
+    The `t >= query_t` zeroing mirrors reference `cli/train.py:114-117`;
+    the frame/active masking replaces the reference's dynamic slicing
+    (`cli/train.py:143-157`).
+    """
+    w = len(window_starts)
+    s = window_len
+    frame_no = window_starts[:, None] + np.arange(s)[None, :]  # [W, S] unclamped
+    real = jnp.asarray(frame_no < num_frames)  # [W, S]
+    v = window_gt(valid.astype(jnp.float32), window_starts, s)  # [W, S, N]
+    started = (
+        jnp.asarray(frame_no)[:, :, None] >= query_t[None, None, :]
+    )  # [W, S, N]
+    return v * real[:, :, None] * started * window_active[:, None, :].astype(jnp.float32)
+
+
+def sequence_loss_3d(
+    coord_predictions: jax.Array,  # [W, iters, S, N, 3]
+    traj_gt_w: jax.Array,  # [W, S, N, 3]
+    valids_w: jax.Array,  # [W, S, N]
+    gamma: float = 0.8,
+    dmin: float = 0.1,
+    dmax: float = 65.0,
+    dz: float = 128.0,
+) -> jax.Array:
+    """Discounted multi-iteration L1 flow loss.
+
+    Mirrors reference `losses.py:49-73` (`sequence_loss_3d`): per refinement
+    iteration i of I, weight gamma^(I-i-1); the z channel of both pred and GT
+    is renormalized (z-dmin)/(dmax-dmin)*Dz; L1 averaged over xyz then
+    masked-meaned over valid (window, frame, point); averaged over
+    iterations; averaged over windows.
+    """
+    n_wind, n_iters = coord_predictions.shape[:2]
+    z_scale = dz / (dmax - dmin)
+
+    def renorm(x):
+        return jnp.concatenate(
+            [x[..., :2], (x[..., 2:] - dmin) * z_scale], axis=-1
+        )
+
+    gt = renorm(traj_gt_w)  # [W, S, N, 3]
+    total = 0.0
+    for i in range(n_iters):
+        w_i = gamma ** (n_iters - i - 1)
+        pred = renorm(coord_predictions[:, i])  # [W, S, N, 3]
+        l1 = jnp.abs(pred - gt).mean(axis=-1)  # [W, S, N]
+        # Masked mean per window, then summed over windows below.
+        per_window = reduce_masked_mean(l1, valids_w, axis=(1, 2))  # [W]
+        total = total + w_i * per_window
+    return jnp.mean(total / n_iters)
+
+
+def balanced_ce_loss(
+    vis_predictions: jax.Array,  # [W, S, N] logits
+    vis_gt_w: jax.Array,  # [W, S, N] in [0, 1]
+    valids_w: jax.Array,  # [W, S, N]
+) -> jax.Array:
+    """Pos/neg-balanced binary cross-entropy on visibility logits.
+
+    Mirrors reference `losses.py:22-46` (`balanced_ce_loss`): stable
+    logistic loss, positive (gt>0.95) and negative (gt<0.05) masked means
+    computed separately and summed; summed (not averaged) over windows.
+    """
+    pos = (vis_gt_w > 0.95).astype(jnp.float32)
+    neg = (vis_gt_w < 0.05).astype(jnp.float32)
+    label = pos * 2.0 - 1.0
+    a = -label * vis_predictions
+    b = jax.nn.relu(a)
+    loss = b + jnp.log(jnp.exp(-b) + jnp.exp(a - b))
+
+    pos_loss = reduce_masked_mean(loss, pos * valids_w, axis=(1, 2))  # [W]
+    neg_loss = reduce_masked_mean(loss, neg * valids_w, axis=(1, 2))
+    return jnp.sum(pos_loss + neg_loss)
+
+
+def tracking_loss(
+    train_data: dict,
+    traj_gt: jax.Array,  # [T, N, 3]
+    vis_gt: jax.Array,  # [T, N] (any-view visibility)
+    valid: jax.Array,  # [T, N]
+    query_t: jax.Array,  # [N]
+    num_frames: int,
+    gamma: float = 0.8,
+    track_upscaling_factor: float = 1.0,
+    visibility_loss_weight: float = 0.1,
+):
+    """Full loss assembly; mirrors reference `cli/train.py:140-163`.
+
+    Returns (total, dict of components).
+    """
+    starts = np.asarray(train_data["window_starts"])
+    s = train_data["coord_predictions"].shape[2]
+    valids_w = window_validity(
+        valid, query_t, starts, s, train_data["window_active"], num_frames
+    )
+    traj_gt_w = window_gt(traj_gt, starts, s)
+    vis_gt_w = window_gt(vis_gt.astype(jnp.float32), starts, s)
+
+    xyz_loss = (
+        sequence_loss_3d(
+            train_data["coord_predictions"], traj_gt_w, valids_w, gamma=gamma
+        )
+        * track_upscaling_factor
+    )
+    vis_loss = (
+        balanced_ce_loss(train_data["vis_predictions"], vis_gt_w, valids_w)
+        * visibility_loss_weight
+    )
+    total = xyz_loss + vis_loss
+    return total, {"xyz_loss": xyz_loss, "vis_loss": vis_loss}

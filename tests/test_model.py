@@ -1,0 +1,121 @@
+"""End-to-end model tests on tiny shapes (CPU).
+
+Mirrors the reference's runtime-assertion test strategy (SURVEY.md §4):
+shape contracts, sliding-window coverage, active-set masking semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvtracker_tpu.models.mvtracker import MVTracker, window_starts
+
+
+def make_scene(rng, v=2, t=8, h=32, w=48, n=6):
+    rgbs = rng.uniform(0, 255, size=(v, t, h, w, 3)).astype(np.float32)
+    depths = rng.uniform(1.0, 4.0, size=(v, t, h, w)).astype(np.float32)
+    intrs = np.zeros((v, t, 3, 3), np.float32)
+    intrs[..., 0, 0] = 60.0
+    intrs[..., 1, 1] = 60.0
+    intrs[..., 0, 2] = w / 2
+    intrs[..., 1, 2] = h / 2
+    intrs[..., 2, 2] = 1.0
+    extrs = np.zeros((v, t, 3, 4), np.float32)
+    for vi in range(v):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        extrs[vi, :, :, :3] = q
+        extrs[vi, :, :, 3] = np.array([0, 0, 3.0])
+    qt = rng.integers(0, t, size=(n,))
+    qt[0] = 0  # ensure at least one early query
+    qxyz = rng.normal(size=(n, 3)).astype(np.float32)
+    query = np.concatenate([qt[:, None].astype(np.float32), qxyz], axis=1)
+    return (
+        jnp.asarray(rgbs),
+        jnp.asarray(depths),
+        jnp.asarray(query),
+        jnp.asarray(intrs),
+        jnp.asarray(extrs),
+    )
+
+
+def test_window_starts():
+    assert window_starts(24, 12) == [0, 6, 12]
+    assert window_starts(12, 12) == [0]
+    assert window_starts(8, 12) == [0]
+    assert window_starts(20, 12) == [0, 6, 12]
+    assert window_starts(18, 12) == [0, 6]
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_out():
+    rng = np.random.default_rng(0)
+    model = MVTracker(
+        sliding_window_len=6,
+        stride=4,
+        fmaps_dim=32,
+        num_heads=2,
+        hidden_size=64,
+        space_depth=2,
+        time_depth=2,
+        num_virtual_tracks=4,
+        corr_n_levels=2,
+        corr_neighbors=4,
+    )
+    args = make_scene(rng, v=2, t=8, h=32, w=48, n=6)
+    params = model.init(jax.random.PRNGKey(0), *args, iters=2, is_train=True)
+    out = model.apply(params, *args, iters=2, is_train=True)
+    return model, params, args, out
+
+
+def test_forward_shapes(tiny_model_and_out):
+    model, params, args, out = tiny_model_and_out
+    t, n = 8, 6
+    assert out["traj"].shape == (t, n, 3)
+    assert out["vis"].shape == (t, n)
+    assert np.all(np.isfinite(np.asarray(out["traj"])))
+    assert np.all((np.asarray(out["vis"]) >= 0) & (np.asarray(out["vis"]) <= 1))
+
+    td = out["train_data"]
+    n_wind = len(window_starts(t, model.sliding_window_len))
+    assert td["coord_predictions"].shape == (n_wind, 2, model.sliding_window_len, n, 3)
+    assert td["vis_predictions"].shape == (n_wind, model.sliding_window_len, n)
+    assert td["window_active"].shape == (n_wind, n)
+
+
+def test_all_queries_eventually_tracked(tiny_model_and_out):
+    """Every point must be written at its own query frame and after."""
+    model, params, args, out = tiny_model_and_out
+    query = np.asarray(args[2])
+    traj = np.asarray(out["traj"])
+    for pt in range(query.shape[0]):
+        t0 = int(query[pt, 0])
+        # At the query frame, prediction should be finite and (weakly) close
+        # to the query point: the model was initialized there.
+        assert np.isfinite(traj[t0, pt]).all()
+
+
+def test_jit_compiles(tiny_model_and_out):
+    model, params, args, out = tiny_model_and_out
+    f = jax.jit(lambda p, *a: model.apply(p, *a, iters=2)["traj"])
+    traj = f(params, *args)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(out["traj"]), atol=1e-4)
+
+
+def test_grad_flows(tiny_model_and_out):
+    """A scalar loss over train predictions must produce finite, nonzero grads."""
+    model, params, args, out = tiny_model_and_out
+
+    def loss_fn(p):
+        o = model.apply(p, *args, iters=2, is_train=True)
+        return jnp.mean(jnp.abs(o["train_data"]["coord_predictions"])) + jnp.mean(
+            jnp.abs(o["train_data"]["vis_predictions"])
+        )
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0
