@@ -1,0 +1,78 @@
+"""Headline benchmark: tracked point-frames/s/chip of the flagship tracker.
+
+Runs the full MVTracker forward (CNN features, fused clouds, 4-level kNN +
+correlation, 4 refinement iterations, sliding windows) on one chip and
+reports throughput as tracked point-frames per second:
+
+    value = N_points * T_frames / median_step_seconds
+
+The reference publishes no frames/s numbers (BASELINE.md); `vs_baseline` is
+reported against the first recorded value of this same benchmark
+(BENCH_SELF_BASELINE.json), i.e. relative progress across rounds.
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _make_scene
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    # Benchmark config: 4 views (the reference's standard kubric eval uses
+    # views 0-3), 24 frames at 256x256, 256 query points.
+    v, t, h, w, n = 4, 24, 256, 256, 256
+    rng = np.random.default_rng(0)
+    model = MVTracker()
+    args = _make_scene(rng, v, t, h, w, n)
+    params = model.init(jax.random.PRNGKey(0), *args, iters=4)
+
+    @jax.jit
+    def fwd(params, *args):
+        out = model.apply(params, *args, iters=4)
+        return out["traj"], out["vis"]
+
+    # Warmup / compile.
+    traj, vis = fwd(params, *args)
+    traj.block_until_ready()
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        traj, vis = fwd(params, *args)
+        traj.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    step = float(np.median(times))
+
+    value = n * t / step
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_SELF_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["value"]
+    else:
+        base = value
+        with open(baseline_path, "w") as f:
+            json.dump({"value": value, "config": [v, t, h, w, n]}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_point_frames_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "point-frames/s",
+                "vs_baseline": round(value / base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

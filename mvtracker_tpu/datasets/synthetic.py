@@ -1,0 +1,206 @@
+"""Procedural multi-view RGB-D scene generator with exact ground truth.
+
+The reference trains on Kubric renders (31 GB on disk). For hermetic tests,
+overfit smoke runs (the reference's convergence test strategy, SURVEY.md §4:
+`configs/experiment/mvtracker_overfit*.yaml`), and benchmarks, this module
+synthesizes consistent multi-view scenes analytically:
+
+- K textured spheres move along smooth trajectories above a ground plane;
+- V cameras on a circle render exact RGB + z-depth by per-pixel ray casting
+  (no renderer dependency, pure numpy);
+- ground-truth 3D tracks ride the sphere surfaces; per-view visibility is
+  exact (front-facing + z-buffer test), matching the Datapoint contract of
+  the reference's Kubric loader (`kubric_multiview_dataset.py:470-1113`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mvtracker_tpu.datasets.datapoint import Datapoint
+
+
+def _look_at(cam_pos: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World->camera extrinsics [3, 4] for a camera at cam_pos looking at
+    target, with +z forward, +y down (OpenCV convention)."""
+    fwd = target - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, -1.0])
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-6:
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    r = np.stack([right, down, fwd], axis=0)  # world->cam rotation
+    t = -r @ cam_pos
+    return np.concatenate([r, t[:, None]], axis=1)
+
+
+def _sphere_trajectories(rng, n_obj, t):
+    """Smooth per-object center trajectories [n_obj, T, 3]."""
+    base = rng.uniform(-1.2, 1.2, size=(n_obj, 3))
+    base[:, 2] = rng.uniform(0.3, 1.2, size=n_obj)  # above ground
+    amp = rng.uniform(0.1, 0.6, size=(n_obj, 3))
+    freq = rng.uniform(0.5, 2.0, size=(n_obj, 3))
+    phase = rng.uniform(0, 2 * np.pi, size=(n_obj, 3))
+    ts = np.linspace(0, 1, t)[None, :, None]
+    return base[:, None, :] + amp[:, None, :] * np.sin(
+        2 * np.pi * freq[:, None, :] * ts + phase[:, None, :]
+    )
+
+
+def render_scene(
+    seed: int = 0,
+    n_views: int = 4,
+    n_frames: int = 12,
+    height: int = 64,
+    width: int = 64,
+    n_tracks: int = 32,
+    n_objects: int = 5,
+    static_fraction: float = 0.25,
+    cam_radius: float = 4.0,
+    focal_factor: float = 1.0,
+) -> Datapoint:
+    """Render a synthetic scene; returns a fully populated Datapoint."""
+    rng = np.random.default_rng(seed)
+    v, t, h, w = n_views, n_frames, height, width
+
+    # Objects.
+    centers = _sphere_trajectories(rng, n_objects, t)  # [O, T, 3]
+    n_static = int(n_objects * static_fraction)
+    if n_static:
+        centers[:n_static] = centers[:n_static, :1]  # freeze static objects
+    radii = rng.uniform(0.25, 0.55, size=n_objects)
+    colors = rng.uniform(0.2, 1.0, size=(n_objects, 3))
+
+    # Cameras on a circle, slight height variation, looking at the origin.
+    intrs = np.zeros((v, t, 3, 3), np.float32)
+    extrs = np.zeros((v, t, 3, 4), np.float32)
+    f = focal_factor * w
+    for vi in range(v):
+        ang = 2 * np.pi * vi / v + rng.uniform(-0.2, 0.2)
+        cam = np.array(
+            [cam_radius * np.cos(ang), cam_radius * np.sin(ang), rng.uniform(1.0, 2.5)]
+        )
+        e = _look_at(cam, np.array([0.0, 0.0, 0.7]))
+        for ti in range(t):
+            extrs[vi, ti] = e
+            intrs[vi, ti] = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
+
+    # Ray directions per pixel (camera space), shared across views.
+    xs = (np.arange(w) + 0.5) - w / 2
+    ys = (np.arange(h) + 0.5) - h / 2
+    xx, yy = np.meshgrid(xs, ys)
+    dirs_cam = np.stack([xx / f, yy / f, np.ones_like(xx)], axis=-1)  # [H, W, 3]
+
+    video = np.zeros((v, t, h, w, 3), np.float32)
+    depth = np.zeros((v, t, h, w), np.float32)
+    seg = np.zeros((v, t, h, w), np.int32)
+
+    for vi in range(v):
+        r_wc = extrs[vi, 0, :, :3]  # world->cam rotation
+        t_wc = extrs[vi, 0, :, 3]
+        cam_origin = -r_wc.T @ t_wc
+        dirs_world = dirs_cam @ r_wc  # [H, W, 3] (R^T applied to each dir)
+        dn = dirs_world / np.linalg.norm(dirs_world, axis=-1, keepdims=True)
+        fwd = r_wc[2]  # camera forward axis in world coords
+        cos_fwd = dn @ fwd  # camera-z per unit step along the (unit) ray
+
+        for ti in range(t):
+            zbuf = np.full((h, w), np.inf, np.float32)
+            rgb = np.zeros((h, w, 3), np.float32)
+            sg = np.zeros((h, w), np.int32)
+
+            # Ground plane z=0 (world), checkerboard texture.
+            dz = dn[..., 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_hit = -cam_origin[2] / dz
+            valid = (t_hit > 0.1) & (np.abs(dz) > 1e-6)
+            pts = cam_origin[None, None] + t_hit[..., None] * dn
+            in_extent = valid & (np.abs(pts[..., 0]) < 4) & (np.abs(pts[..., 1]) < 4)
+            cam_z = t_hit * cos_fwd
+            checker = ((np.floor(pts[..., 0]) + np.floor(pts[..., 1])) % 2).astype(bool)
+            ground_col = np.where(checker[..., None], 0.55, 0.35)
+            sel = in_extent & (cam_z < zbuf)
+            zbuf[sel] = cam_z[sel]
+            rgb[sel] = ground_col[sel]
+
+            # Spheres (analytic ray-sphere intersection).
+            for oi in range(n_objects):
+                oc = cam_origin - centers[oi, ti]
+                b = 2 * (dn @ oc)
+                c = oc @ oc - radii[oi] ** 2
+                disc = b * b - 4 * c
+                hit = disc > 0
+                sq = np.sqrt(np.maximum(disc, 0))
+                t0 = (-b - sq) / 2
+                hit &= t0 > 0.1
+                p = cam_origin[None, None] + t0[..., None] * dn
+                cam_z_s = t0 * cos_fwd
+                sel = hit & (cam_z_s < zbuf)
+                # Simple lambertian shading + procedural stripes for texture.
+                normal = (p - centers[oi, ti]) / radii[oi]
+                light = np.clip(normal @ np.array([0.5, 0.5, 0.7071]), 0.2, 1.0)
+                stripes = 0.75 + 0.25 * np.sin(12 * p[..., 0]) * np.sin(12 * p[..., 2])
+                col = colors[oi][None, None] * (light * stripes)[..., None]
+                zbuf[sel] = cam_z_s[sel]
+                rgb[sel] = col[sel]
+                sg[sel] = oi + 1
+
+            depth[vi, ti] = np.where(np.isfinite(zbuf), zbuf, 0.0)
+            video[vi, ti] = np.clip(rgb, 0, 1) * 255
+            seg[vi, ti] = sg
+
+    # Ground-truth tracks: points on sphere surfaces (translation-rigid).
+    obj_of_track = rng.integers(0, n_objects, size=n_tracks)
+    u = rng.normal(size=(n_tracks, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    offsets = u * radii[obj_of_track][:, None] * 0.999
+    traj3d = centers[obj_of_track] + offsets[:, None, :]  # [N, T, 3]
+    traj3d = traj3d.transpose(1, 0, 2).astype(np.float32)  # [T, N, 3]
+
+    # Per-view projection + exact visibility via the z-buffer.
+    traj2d = np.zeros((v, t, n_tracks, 3), np.float32)
+    visibility = np.zeros((v, t, n_tracks), bool)
+    for vi in range(v):
+        for ti in range(t):
+            xyz_h = np.concatenate([traj3d[ti], np.ones((n_tracks, 1))], -1)
+            cam_xyz = (extrs[vi, ti] @ xyz_h.T).T
+            z = cam_xyz[:, 2]
+            pix = (intrs[vi, ti] @ cam_xyz.T).T
+            pix_xy = pix[:, :2] / np.maximum(pix[:, 2:], 1e-6)
+            traj2d[vi, ti, :, :2] = pix_xy
+            traj2d[vi, ti, :, 2] = z
+            xi = np.round(pix_xy[:, 0]).astype(int)
+            yi = np.round(pix_xy[:, 1]).astype(int)
+            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h) & (z > 0)
+            d_at = np.where(inb, depth[vi, ti, np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)], 0)
+            visibility[vi, ti] = inb & (d_at > 0) & (z <= d_at + 0.05)
+
+    vis_any = visibility.any(axis=0)  # [T, N]
+    # Query at first any-view-visible frame (guarantee at least one).
+    has_vis = vis_any.any(axis=0)
+    first_vis = np.argmax(vis_any, axis=0)
+    first_vis[~has_vis] = 0
+    query = np.concatenate(
+        [
+            first_vis[:, None].astype(np.float32),
+            traj3d[first_vis, np.arange(n_tracks)],
+        ],
+        axis=1,
+    )
+
+    return Datapoint(
+        video=video,
+        videodepth=depth,
+        intrs=intrs,
+        extrs=extrs,
+        trajectory=traj2d,
+        visibility=visibility,
+        trajectory_3d=traj3d,
+        query_points_3d=query,
+        valid=np.ones((t, n_tracks), bool),
+        segmentation=seg,
+        seq_name=f"synthetic_{seed}",
+    )

@@ -1,0 +1,144 @@
+"""Sharded training step (L7).
+
+Replaces the reference's Lightning-Fabric DDP loop body
+(`mvtracker/cli/train.py:671-820`) with a single jitted SPMD step:
+
+- scenes (batch) are vmapped and sharded over the mesh ``data`` axis;
+  gradient synchronization is the all-reduce XLA inserts — the TPU
+  equivalent of `fabric.backward`'s NCCL all-reduce (`train.py:787`);
+- camera views are sharded over the ``model`` axis during CNN encoding
+  (each device encodes a slice of the V streams), with the fused cloud
+  all-gathered automatically before kNN;
+- optimizer: AdamW + OneCycle with gradient clipping at 1.0, mirroring
+  `cli/train.py:55-75,814-816`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mvtracker_tpu.training import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(
+    lr: float = 5e-4,
+    weight_decay: float = 1e-5,
+    total_steps: int = 200_000,
+    pct_start: float = 0.05,
+    grad_clip: float = 1.0,
+    schedule: str = "cos",
+) -> optax.GradientTransformation:
+    """AdamW + OneCycle, mirroring reference `cli/train.py:55-75`."""
+    if schedule == "cos":
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=lr, pct_start=pct_start
+        )
+    elif schedule == "linear":
+        sched = optax.linear_onecycle_schedule(
+            transition_steps=total_steps, peak_value=lr, pct_start=pct_start
+        )
+    elif schedule == "const":
+        sched = lr
+    else:
+        raise ValueError(schedule)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def init_state(model, optimizer, example_scene, rng_key, iters: int = 4) -> TrainState:
+    params = model.init(
+        rng_key,
+        example_scene["rgbs"],
+        example_scene["depths"],
+        example_scene["query_points"],
+        example_scene["intrs"],
+        example_scene["extrs"],
+        iters=iters,
+        is_train=True,
+    )
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float):
+    """Loss for a single scene; the unit that gets vmapped over the batch."""
+    out = model.apply(
+        params,
+        scene["rgbs"],
+        scene["depths"],
+        scene["query_points"],
+        scene["intrs"],
+        scene["extrs"],
+        iters=iters,
+        is_train=True,
+    )
+    num_frames = scene["rgbs"].shape[1]
+    query_t = scene["query_points"][:, 0].astype(jnp.int32)
+    total, parts = losses.tracking_loss(
+        out["train_data"],
+        scene["traj_gt"],
+        scene["vis_gt"],
+        scene["valid"],
+        query_t,
+        num_frames,
+        gamma=gamma,
+        track_upscaling_factor=scene.get("track_upscaling_factor", 1.0),
+        visibility_loss_weight=vis_weight,
+    )
+    return total, parts
+
+
+def make_train_step(
+    model,
+    optimizer,
+    iters: int = 4,
+    gamma: float = 0.8,
+    vis_weight: float = 0.1,
+    mesh=None,
+    shard_views: bool = False,
+):
+    """Build the jitted SPMD train step: (state, batch) -> (state, metrics).
+
+    `batch` is a pytree of arrays with a leading scene axis, sharded over
+    the mesh "data" axis by the caller (`parallel.mesh.shard_batch_pytree`).
+    """
+
+    def batch_loss(params, batch):
+        if shard_views and mesh is not None:
+            # Views sharded over the model axis during encoding; everything
+            # downstream re-gathers as needed (XLA inserts the collectives).
+            batch = dict(batch)
+            batch["rgbs"] = jax.lax.with_sharding_constraint(
+                batch["rgbs"], NamedSharding(mesh, P("data", "model"))
+            )
+        per_scene = jax.vmap(
+            lambda sc: scene_loss(model, params, sc, iters, gamma, vis_weight)
+        )(batch)
+        totals, parts = per_scene
+        return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        (loss, parts), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **parts}
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return train_step
