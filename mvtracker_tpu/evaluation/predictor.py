@@ -1,0 +1,192 @@
+"""Evaluation predictor (L5): inference-time wrapper around the tracker.
+
+Re-design of the reference `EvaluationPredictor`
+(`mvtracker/models/evaluation_predictor_3dpt.py:17-414`):
+
+- optional nearest resize of rgb/depth to `interp_shape` with intrinsics
+  rescale (reference :71-87);
+- support-point augmentation: a pixel grid per view (optionally at several
+  frames) unprojected through the depth map into world space (reference
+  :101-120), plus uniformly-sampled random support points (:147-189);
+- queries and support points run through the model together; only the
+  original queries' tracks are returned; visibility is thresholded.
+
+All support-point construction is static-shaped jittable JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvtracker_tpu.utils import geometry as geo
+
+
+def nearest_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Nearest-neighbor resize over the last two (or [-3,-2] for NHWC-like
+    trailing channel) spatial axes of [..., H, W]. torch F.interpolate
+    'nearest' picks src index floor(i * H_in / H_out)."""
+    h, w = x.shape[-2], x.shape[-1]
+    ri = (np.arange(out_h) * h // out_h).astype(np.int32)
+    ci = (np.arange(out_w) * w // out_w).astype(np.int32)
+    return x[..., ri[:, None], ci[None, :]]
+
+
+def build_support_grid_points(
+    depths: jax.Array,  # [V, T, H, W]
+    intrs: jax.Array,  # [V, T, 3, 3]
+    extrs: jax.Array,  # [V, T, 3, 4]
+    grid_size: int,
+    n_grids_per_view: int = 1,
+) -> jax.Array:
+    """Support grid: grid_size^2 pixels per view unprojected through depth.
+
+    Mirrors reference `evaluation_predictor_3dpt.py:101-120`. Returns
+    [n_frames_used * V * grid_size^2, 4] (t, xyz).
+    """
+    v, t, h, w = depths.shape
+    pix = geo.get_points_on_a_grid(grid_size, (h, w))[0]  # [G, 2]
+    intrs_inv = geo.invert_intrinsics(intrs)
+    extrs_inv = geo.invert_extrinsics(extrs)
+
+    frames = list(range(0, t, max(1, t // n_grids_per_view)))
+    pts = []
+    for ti in frames:
+        for vi in range(v):
+            z = geo.bilinear_sample2d(
+                depths[vi, ti][None, :, :, None], pix[None, :, 0], pix[None, :, 1]
+            )[0]  # [G, 1]
+            world = geo.pixel_xy_and_camera_z_to_world(
+                pix[None], z[None], intrs_inv[vi, ti][None], extrs_inv[vi, ti][None]
+            )[0]  # [G, 3]
+            pts.append(
+                jnp.concatenate([jnp.full((world.shape[0], 1), float(ti)), world], axis=1)
+            )
+    return jnp.concatenate(pts, axis=0)
+
+
+def build_uniform_support_points(
+    depths: jax.Array,  # [V, T, H, W]
+    intrs: jax.Array,
+    extrs: jax.Array,
+    num_points: int,
+    rng_key: jax.Array,
+) -> jax.Array:
+    """Random (t, x, y) samples unprojected in every view; mirrors reference
+    `evaluation_predictor_3dpt.py:147-189`. Returns [num_points * V, 4]."""
+    v, t, h, w = depths.shape
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    ts = jax.random.randint(k1, (num_points,), 0, t)
+    xs = jax.random.uniform(k2, (num_points,), minval=0.0, maxval=w - 1.0)
+    ys = jax.random.uniform(k3, (num_points,), minval=0.0, maxval=h - 1.0)
+
+    intrs_inv = geo.invert_intrinsics(intrs)
+    extrs_inv = geo.invert_extrinsics(extrs)
+
+    pts = []
+    for vi in range(v):
+        # Gather depth at (t, y, x) per sample with bilinear interpolation.
+        z = geo.bilinear_sample2d(
+            depths[vi].transpose(1, 2, 0)[None],  # [1, H, W, T] channels=T
+            xs[None],
+            ys[None],
+        )[0]  # [num_points, T]
+        z_t = jnp.take_along_axis(z, ts[:, None], axis=1)  # [num_points, 1]
+        ki = jnp.take(intrs_inv[vi], ts, axis=0)  # [num_points, 3, 3]
+        ei = jnp.take(extrs_inv[vi], ts, axis=0)
+        pix = jnp.stack([xs, ys], axis=-1)  # [num_points, 2]
+        world = geo.pixel_xy_and_camera_z_to_world(
+            pix[:, None, :], z_t[:, :, None], ki, ei
+        )[:, 0]
+        pts.append(jnp.concatenate([ts[:, None].astype(jnp.float32), world], axis=1))
+    return jnp.concatenate(pts, axis=0)
+
+
+class EvaluationPredictor:
+    """Wraps a tracker (scene-level flax model + params) for evaluation."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        interp_shape: Optional[tuple[int, int]] = (384, 512),
+        visibility_threshold: float = 0.5,
+        grid_size: int = 5,
+        n_grids_per_view: int = 1,
+        num_uniformly_sampled_pts: int = 0,
+        n_iters: int = 6,
+    ):
+        self.model = model
+        self.params = params
+        self.interp_shape = interp_shape
+        self.visibility_threshold = visibility_threshold
+        self.grid_size = grid_size
+        self.n_grids_per_view = n_grids_per_view
+        self.num_uniformly_sampled_pts = num_uniformly_sampled_pts
+        self.n_iters = n_iters
+        self._jitted = {}
+
+    def _forward(self, rgbs, depths, queries, intrs, extrs):
+        key = (rgbs.shape, queries.shape)
+        if key not in self._jitted:
+            model, n_iters = self.model, self.n_iters
+
+            @jax.jit
+            def f(params, rgbs, depths, queries, intrs, extrs):
+                out = model.apply(params, rgbs, depths, queries, intrs, extrs, iters=n_iters)
+                return out["traj"], out["vis"]
+
+            self._jitted[key] = f
+        return self._jitted[key](self.params, rgbs, depths, queries, intrs, extrs)
+
+    def __call__(
+        self,
+        rgbs: jax.Array,  # [V, T, H, W, 3] 0..255
+        depths: jax.Array,  # [V, T, H, W]
+        query_points: jax.Array,  # [N, 4]
+        intrs: jax.Array,  # [V, T, 3, 3]
+        extrs: jax.Array,  # [V, T, 3, 4]
+        rng_key: Optional[jax.Array] = None,
+    ):
+        v, t, h_raw, w_raw, _ = rgbs.shape
+        n = query_points.shape[0]
+
+        if self.interp_shape is not None:
+            h, w = self.interp_shape
+            rgbs = nearest_resize(rgbs.transpose(0, 1, 4, 2, 3), h, w).transpose(0, 1, 3, 4, 2)
+            depths = nearest_resize(depths, h, w)
+            scale = jnp.asarray(
+                [[w / w_raw, 0, 0], [0, h / h_raw, 0], [0, 0, 1]], intrs.dtype
+            )
+            intrs = jnp.einsum("ij,VTjk->VTik", scale, intrs)
+
+        support = []
+        if self.grid_size > 0:
+            support.append(
+                build_support_grid_points(
+                    depths, intrs, extrs, self.grid_size, self.n_grids_per_view
+                )
+            )
+        if self.num_uniformly_sampled_pts > 0:
+            key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+            support.append(
+                build_uniform_support_points(
+                    depths, intrs, extrs, self.num_uniformly_sampled_pts, key
+                )
+            )
+
+        queries = query_points
+        if support:
+            queries = jnp.concatenate([query_points] + support, axis=0)
+
+        traj, vis = self._forward(rgbs, depths, queries, intrs, extrs)
+        traj = traj[:, :n]
+        vis = vis[:, :n]
+        return {
+            "traj": traj,
+            "vis": vis,
+            "occluded": vis < self.visibility_threshold,
+        }
