@@ -31,7 +31,8 @@ def main():
     v, t, h, w, n = 4, 24, 256, 256, 256
     rng = np.random.default_rng(0)
     model = MVTracker()
-    args = _make_scene(rng, v, t, h, w, n)
+    # Device-resident inputs: we measure chip compute, not host transfer.
+    args = tuple(jax.device_put(a) for a in _make_scene(rng, v, t, h, w, n))
     params = model.init(jax.random.PRNGKey(0), *args, iters=4)
 
     @jax.jit

@@ -1,0 +1,243 @@
+"""Training loop (L7): orbax checkpoints, telemetry, preemption handling.
+
+Re-design of the reference trainer (`mvtracker/cli/train.py:342-1013`):
+
+- auto-resume from the latest checkpoint in the experiment dir
+  (reference :575-601) via orbax CheckpointManager;
+- SIGUSR1/SIGTERM handler checkpoints and exits cleanly for preemption
+  (reference :636-654);
+- per-step phase timing (data/step) with mean/median/std logged every
+  `telemetry_freq` steps (reference :889-976);
+- adaptive refinement-iteration schedule: warmup -> 1 iter, then 10% one
+  iter / 15% random middle / 75% full (reference `augment_train_iters`,
+  :317-339) — each distinct iteration count is a separate cached jit
+  specialization;
+- crash forensics: on exception, checkpoint + dump the offending batch
+  (reference :741-766).
+
+Distribution: the step itself is SPMD over the ("data", "model") mesh
+(see `training/step.py`); this loop is mesh-agnostic host orchestration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import signal
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from mvtracker_tpu.parallel import mesh as mesh_lib
+from mvtracker_tpu.training import step as step_lib
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirrors the reference's trainer config surface
+    (`configs/train.yaml:31-48`, `cli/train.py:55-75`)."""
+
+    total_steps: int = 200_000
+    lr: float = 5e-4
+    weight_decay: float = 1e-5
+    schedule: str = "cos"
+    grad_clip: float = 1.0
+    gamma: float = 0.8  # sequence-loss discount
+    visibility_loss_weight: float = 0.1
+    train_iters: int = 4
+    warmup_steps: int = 100
+    save_ckpt_freq: int = 500
+    eval_freq: int = 10_000
+    telemetry_freq: int = 100
+    seed: int = 0
+    exp_dir: str = "experiments/default"
+    adaptive_iters: bool = True
+    keep_ckpts: int = 3
+
+
+def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
+    """Adaptive refinement-iteration count; mirrors reference
+    `cli/train.py:317-339`."""
+    if not cfg.adaptive_iters:
+        return cfg.train_iters
+    if step < cfg.warmup_steps:
+        return 1
+    r = rng.random()
+    if r < 0.10:
+        return 1
+    if r < 0.25 and cfg.train_iters > 2:
+        return int(rng.integers(2, cfg.train_iters))
+    return cfg.train_iters
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        mesh=None,
+        shard_views: bool = False,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.shard_views = shard_views
+        self.optimizer = step_lib.make_optimizer(
+            lr=cfg.lr,
+            weight_decay=cfg.weight_decay,
+            total_steps=cfg.total_steps,
+            grad_clip=cfg.grad_clip,
+            schedule=cfg.schedule,
+        )
+        self._steps = {}  # iters -> jitted train step
+        self._stop_requested = False
+        self._ckpt_mgr = None
+
+    # -- checkpointing -------------------------------------------------
+    def _ckpt_manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(os.path.join(self.cfg.exp_dir, "checkpoints"))
+            os.makedirs(path, exist_ok=True)
+            self._ckpt_mgr = ocp.CheckpointManager(
+                path,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.cfg.keep_ckpts, create=True
+                ),
+            )
+        return self._ckpt_mgr
+
+    def save(self, state: step_lib.TrainState, step: int):
+        import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_manager()
+        mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+        mgr.wait_until_finished()
+        logging.info("saved checkpoint at step %d", step)
+
+    def restore_latest(self, state: step_lib.TrainState) -> tuple[step_lib.TrainState, int]:
+        """Auto-resume (reference `cli/train.py:575-601`)."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_manager()
+        latest = mgr.latest_step()
+        if latest is None:
+            return state, 0
+        restored = mgr.restore(
+            latest, args=ocp.args.StandardRestore(state._asdict())
+        )
+        logging.info("resumed from checkpoint step %d", latest)
+        return step_lib.TrainState(**restored), latest
+
+    # -- main loop -----------------------------------------------------
+    def _get_step_fn(self, iters: int):
+        if iters not in self._steps:
+            self._steps[iters] = step_lib.make_train_step(
+                self.model,
+                self.optimizer,
+                iters=iters,
+                gamma=self.cfg.gamma,
+                vis_weight=self.cfg.visibility_loss_weight,
+                mesh=self.mesh,
+                shard_views=self.shard_views,
+            )
+        return self._steps[iters]
+
+    def _install_signal_handlers(self):
+        def handler(signum, frame):
+            logging.warning("signal %d received: checkpoint-and-exit requested", signum)
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):  # non-main thread
+                pass
+
+    def fit(
+        self,
+        data_iter: Iterator[dict],
+        state: Optional[step_lib.TrainState] = None,
+        eval_fn: Optional[Callable[[step_lib.TrainState, int], dict]] = None,
+        max_steps: Optional[int] = None,
+    ) -> step_lib.TrainState:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        self._install_signal_handlers()
+        os.makedirs(cfg.exp_dir, exist_ok=True)
+
+        if state is None:
+            first = next(data_iter)
+            example = {k: v[0] for k, v in first.items() if hasattr(v, "ndim") and v.ndim > 0}
+            state = step_lib.init_state(
+                self.model,
+                self.optimizer,
+                example,
+                jax.random.PRNGKey(cfg.seed),
+                iters=cfg.train_iters,
+            )
+        state, start_step = self.restore_latest(state)
+
+        total = max_steps if max_steps is not None else cfg.total_steps
+        data_times, step_times = [], []
+        step = start_step
+        try:
+            while step < total and not self._stop_requested:
+                t0 = time.perf_counter()
+                batch = next(data_iter)
+                if self.mesh is not None:
+                    batch = mesh_lib.shard_batch_pytree(batch, self.mesh)
+                t1 = time.perf_counter()
+
+                iters = augment_train_iters(step, cfg, rng)
+                step_fn = self._get_step_fn(iters)
+                state, metrics = step_fn(state, batch)
+                loss = float(metrics["loss"])  # blocks; doubles as sync point
+                t2 = time.perf_counter()
+
+                data_times.append(t1 - t0)
+                step_times.append(t2 - t1)
+                step += 1
+
+                if not np.isfinite(loss):
+                    raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
+
+                if step % cfg.telemetry_freq == 0:
+                    dt, st = np.asarray(data_times), np.asarray(step_times)
+                    logging.info(
+                        "step %d loss=%.4f xyz=%.4f vis=%.4f | data %.0f/%.0f/%.0f ms "
+                        "step %.0f/%.0f/%.0f ms (mean/med/std)",
+                        step,
+                        loss,
+                        float(metrics.get("xyz_loss", np.nan)),
+                        float(metrics.get("vis_loss", np.nan)),
+                        dt.mean() * 1e3, np.median(dt) * 1e3, dt.std() * 1e3,
+                        st.mean() * 1e3, np.median(st) * 1e3, st.std() * 1e3,
+                    )
+                    data_times, step_times = [], []
+
+                if step % cfg.save_ckpt_freq == 0:
+                    self.save(state, step)
+                if eval_fn is not None and step % cfg.eval_freq == 0:
+                    eval_fn(state, step)
+        except Exception:
+            # Crash forensics: checkpoint + dump batch (reference :741-766).
+            crash_dir = os.path.join(cfg.exp_dir, "crash")
+            os.makedirs(crash_dir, exist_ok=True)
+            try:
+                np.savez(
+                    os.path.join(crash_dir, f"batch_step{step}.npz"),
+                    **{k: np.asarray(v) for k, v in batch.items()},
+                )
+                self.save(state, step)
+            except Exception:
+                logging.exception("failed to save crash artifacts")
+            raise
+
+        if self._stop_requested:
+            self.save(state, step)
+        return state

@@ -1,0 +1,115 @@
+"""Training loop tests: overfit smoke (the reference's convergence test
+strategy — `configs/experiment/mvtracker_overfit*.yaml`), checkpoint
+auto-resume, and the adaptive-iteration schedule."""
+
+import numpy as np
+import pytest
+
+from mvtracker_tpu.datasets.loader import PrefetchLoader, SyntheticSceneDataset
+from mvtracker_tpu.models.mvtracker import MVTracker
+from mvtracker_tpu.training.train import TrainConfig, Trainer, augment_train_iters
+
+
+def tiny_model():
+    return MVTracker(
+        sliding_window_len=4,
+        fmaps_dim=16,
+        num_heads=2,
+        hidden_size=32,
+        space_depth=1,
+        time_depth=1,
+        num_virtual_tracks=4,
+        corr_n_levels=2,
+        corr_neighbors=4,
+    )
+
+
+def tiny_loader(batch_size=1):
+    ds = SyntheticSceneDataset(
+        n_scenes=2, cache=True, n_views=2, n_frames=6, height=32, width=32, n_tracks=8
+    )
+    return PrefetchLoader(ds, batch_size=batch_size, num_workers=1, shuffle=False)
+
+
+def test_augment_train_iters_distribution():
+    cfg = TrainConfig(warmup_steps=10, train_iters=4)
+    rng = np.random.default_rng(0)
+    assert augment_train_iters(5, cfg, rng) == 1  # warmup
+    vals = [augment_train_iters(100, cfg, rng) for _ in range(300)]
+    assert set(vals) <= {1, 2, 3, 4}
+    assert np.mean(np.asarray(vals) == 4) > 0.5  # mostly full iters
+
+
+@pytest.mark.slow
+def test_overfit_loss_decreases(tmp_path):
+    cfg = TrainConfig(
+        total_steps=30,
+        lr=3e-4,
+        warmup_steps=0,
+        adaptive_iters=False,
+        train_iters=1,
+        save_ckpt_freq=1000,
+        eval_freq=10_000,
+        telemetry_freq=10,
+        exp_dir=str(tmp_path / "exp"),
+        schedule="const",
+    )
+    trainer = Trainer(tiny_model(), cfg)
+    it = iter(tiny_loader())
+
+    losses = []
+    orig_get = trainer._get_step_fn
+
+    def wrapped(iters):
+        fn = orig_get(iters)
+
+        def stepper(state, batch):
+            state, metrics = fn(state, batch)
+            losses.append(float(metrics["loss"]))
+            return state, metrics
+
+        return stepper
+
+    trainer._get_step_fn = wrapped
+    trainer.fit(it, max_steps=30)
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(tmp_path):
+    cfg = TrainConfig(
+        total_steps=10,
+        warmup_steps=0,
+        adaptive_iters=False,
+        train_iters=1,
+        save_ckpt_freq=5,
+        telemetry_freq=100,
+        exp_dir=str(tmp_path / "exp"),
+        schedule="const",
+    )
+    model = tiny_model()
+    t1 = Trainer(model, cfg)
+    state = t1.fit(iter(tiny_loader()), max_steps=6)
+    assert int(state.step) == 6
+
+    # A fresh trainer must resume from the step-5 checkpoint.
+    t2 = Trainer(model, cfg)
+    state2 = t2.fit(iter(tiny_loader()), max_steps=8)
+    assert int(state2.step) == 8
+    latest = t2._ckpt_manager().latest_step()
+    assert latest is not None and latest >= 5
+
+
+def test_loader_statefulness():
+    loader = tiny_loader()
+    it = iter(loader)
+    next(it)
+    state = loader.state_dict()
+    b_expected = next(it)
+
+    loader2 = tiny_loader()
+    loader2.load_state_dict(state)
+    b_actual = next(iter(loader2))
+    np.testing.assert_allclose(b_actual["rgbs"], b_expected["rgbs"])
