@@ -1,0 +1,55 @@
+"""Training CLI: ``python -m mvtracker_tpu.cli.train [--config X] [k=v ...]``.
+
+Replaces the reference's Hydra entry (`mvtracker/cli/train.py:342`).
+Example:
+
+    python -m mvtracker_tpu.cli.train --config configs/overfit.yaml \
+        trainer.total_steps=1000 data.dataset=synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None, help="YAML config preset")
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+    import jax
+
+    from mvtracker_tpu.config import build_dataset, build_model, load_config
+    from mvtracker_tpu.datasets.loader import PrefetchLoader
+    from mvtracker_tpu.parallel import mesh as mesh_lib
+    from mvtracker_tpu.training.train import Trainer
+
+    cfg = load_config(args.config, args.overrides)
+    logging.info("config: %s", cfg)
+
+    model = build_model(cfg.model)
+    dataset = build_dataset(cfg.data)
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=cfg.data.batch_size,
+        num_workers=cfg.data.num_workers,
+        seed=cfg.data.seed,
+    )
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
+        logging.info("mesh: %s", dict(mesh.shape))
+
+    trainer = Trainer(model, cfg.trainer, mesh=mesh, shard_views=cfg.shard_views)
+    trainer.fit(loader.prefetching_iter())
+
+
+if __name__ == "__main__":
+    main()

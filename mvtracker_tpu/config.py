@@ -1,0 +1,158 @@
+"""Config system (L8): dataclasses + YAML + dotted-key overrides.
+
+Replaces the reference's Hydra stack (`configs/train.yaml`,
+`configs/model/*.yaml`, `configs/experiment/*.yaml` — 17 model configs and
+experiment overrides, reference SURVEY §5) with a dependency-light
+equivalent: typed dataclasses, YAML files for named presets, and
+`key.subkey=value` command-line overrides like Hydra's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import yaml
+
+from mvtracker_tpu.training.train import TrainConfig
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Mirrors the reference model group (`configs/model/mvtracker.yaml` and
+    `mvtracker/mvtracker.py:94-128` defaults)."""
+
+    name: str = "mvtracker"
+    sliding_window_len: int = 12
+    stride: int = 4
+    fmaps_dim: int = 128
+    add_space_attn: bool = True
+    num_heads: int = 6
+    hidden_size: int = 384
+    space_depth: int = 6
+    time_depth: int = 6
+    num_virtual_tracks: int = 64
+    corr_n_groups: int = 1
+    corr_n_levels: int = 4
+    corr_neighbors: int = 16
+    corr_add_neighbor_offset: bool = True
+    corr_add_neighbor_xyz: bool = False
+    flow_embed_dim: int = 64
+    knn_backend: str = "xla"
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | kubric
+    root: str = ""
+    batch_size: int = 1
+    num_workers: int = 4
+    num_tracks: int = 256
+    n_views: int = 4
+    n_frames: int = 24
+    height: int = 256
+    width: int = 256
+    view_subset: Optional[list] = None
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    setting: str = "kubric-multiview"
+    interp_shape: Optional[list] = None
+    grid_size: int = 5
+    n_grids_per_view: int = 1
+    num_uniformly_sampled_pts: int = 0
+    n_iters: int = 6
+    visibility_threshold: float = 0.5
+    max_sequences: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    trainer: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh_data: Optional[int] = None  # None = all devices on data axis
+    mesh_model: int = 1
+    shard_views: bool = False
+
+
+def _apply(obj: Any, key: str, value: Any):
+    parts = key.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key: {key}")
+    current = getattr(obj, leaf)
+    if isinstance(current, bool):
+        value = str(value).lower() in ("1", "true", "yes")
+    elif isinstance(current, int) and not isinstance(value, bool):
+        value = int(value)
+    elif isinstance(current, float):
+        value = float(value)
+    setattr(obj, leaf, value)
+
+
+def _merge_dict(cfg: Config, d: dict, prefix: str = ""):
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            _merge_dict(cfg, v, prefix=f"{key}.")
+        else:
+            _apply(cfg, key, v)
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Optional[list[str]] = None
+) -> Config:
+    """Build a Config from an optional YAML preset + `k=v` overrides."""
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        _merge_dict(cfg, data)
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got: {ov}")
+        k, v = ov.split("=", 1)
+        _apply(cfg, k, yaml.safe_load(v))
+    return cfg
+
+
+def build_model(mc: ModelConfig):
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    fields = {f.name for f in dataclasses.fields(MVTracker) if f.name != "parent"}
+    kwargs = {
+        k: v for k, v in dataclasses.asdict(mc).items() if k in fields and k != "name"
+    }
+    return MVTracker(**kwargs)
+
+
+def build_dataset(dc: DataConfig):
+    if dc.dataset == "synthetic":
+        from mvtracker_tpu.datasets.loader import SyntheticSceneDataset
+
+        return SyntheticSceneDataset(
+            n_scenes=64,
+            seed=dc.seed,
+            n_views=dc.n_views,
+            n_frames=dc.n_frames,
+            height=dc.height,
+            width=dc.width,
+            n_tracks=dc.num_tracks,
+        )
+    if dc.dataset == "kubric":
+        from mvtracker_tpu.datasets.kubric import KubricMultiViewDataset
+
+        return KubricMultiViewDataset(
+            dc.root,
+            view_subset=dc.view_subset,
+            num_tracks=dc.num_tracks,
+            seed=dc.seed,
+        )
+    raise ValueError(f"unknown dataset: {dc.dataset}")
