@@ -1,0 +1,156 @@
+"""DROID data-factory tests: kinematics parity with scipy, synthetic episode
+round-trip through the full metadata pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mvtracker_tpu.droid import gripper, pipeline, transforms
+
+
+def test_euler_xyz_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    rpy = rng.uniform(-np.pi, np.pi, size=(20, 3))
+    ours = transforms.euler_xyz_to_matrix(rpy)
+    theirs = R.from_euler("xyz", rpy).as_matrix()
+    np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_rotvec_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    for _ in range(10):
+        rv = rng.normal(size=3)
+        np.testing.assert_allclose(
+            transforms.rotvec_to_matrix(rv), R.from_rotvec(rv).as_matrix(), atol=1e-12
+        )
+
+
+def test_finger_transforms_open_close():
+    """Closing the gripper must move the fingertips toward each other."""
+    ee = np.eye(4)
+
+    def tip_distance(g):
+        tl, tr = gripper.compute_finger_transforms(ee, g)
+        return np.linalg.norm(tl[:3, 3] - tr[:3, 3])
+
+    assert tip_distance(1.0) < tip_distance(0.0)
+
+
+def test_contact_tracker_fk_rigidity(rng):
+    """Contact points must move rigidly with the EE pose."""
+    tracker = gripper.ContactSurfaceTracker(num_track_points=9)
+    ee1 = np.eye(4)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    ee2 = np.eye(4)
+    ee2[:3, :3] = q
+    ee2[:3, 3] = [0.1, 0.2, 0.3]
+
+    l1, r1 = tracker.contact_points_world(ee1, 0.5)
+    l2, r2 = tracker.contact_points_world(ee2, 0.5)
+    # l2 should equal the rigid transform of l1.
+    np.testing.assert_allclose(l2, (q @ l1.T).T + ee2[:3, 3], atol=1e-10)
+    np.testing.assert_allclose(r2, (q @ r1.T).T + ee2[:3, 3], atol=1e-10)
+
+
+def test_normalized_flow_arclength():
+    """A constant-speed straight line resamples to ~1mm-spaced steps."""
+    t = 50
+    centroids = np.zeros((t, 3))
+    centroids[:, 0] = np.linspace(0, 0.02, t)  # 20mm total
+    frames = np.tile(np.eye(4), (t, 1, 1))
+    out = pipeline.compute_normalized_flow(centroids, frames, step_size_mm=1.0)
+    assert abs(out["num_normalized_steps"] - 21) <= 1
+    steps = np.linalg.norm(np.diff(out["normalized_centroids"], axis=0), axis=1)
+    np.testing.assert_allclose(steps, 0.001, atol=1e-4)
+
+
+def make_episode(tmp_path, t=30):
+    import h5py
+
+    ep = tmp_path / "episode_000"
+    ep.mkdir()
+    rng = np.random.default_rng(0)
+    # Smooth EE trajectory.
+    ts = np.linspace(0, 1, t)
+    cart = np.zeros((t, 6))
+    cart[:, 0] = 0.4 + 0.1 * np.sin(2 * np.pi * ts)
+    cart[:, 1] = 0.2 * ts
+    cart[:, 2] = 0.3 + 0.05 * np.cos(2 * np.pi * ts)
+    cart[:, 3:] = 0.3 * rng.standard_normal(3)[None] * ts[:, None]
+    grip = np.clip(ts, 0, 1)[:, None]
+    with h5py.File(ep / "trajectory.h5", "w") as f:
+        f.create_dataset("observation/robot_state/cartesian_position", data=cart)
+        f.create_dataset("observation/robot_state/gripper_position", data=grip)
+
+    k = [[300.0, 0, 160], [0, 300, 120], [0, 0, 1]]
+    meta = {
+        "cam2base": {"100": [0.5, 0.5, 0.5, 0.1, 0.2, 0.3]},
+        "wrist_cam_serial": "200",
+        "wrist_cam_extrinsics": [0.45, 0.05, 0.35, 0.0, 0.1, 0.0],
+        "camera_intrinsics": {
+            "100": {"K": k, "width": 320, "height": 240},
+            "200": {"K": k, "width": 320, "height": 240},
+        },
+    }
+    with open(ep / "metadata.json", "w") as f:
+        json.dump(meta, f)
+    return str(ep)
+
+
+def test_process_episode_end_to_end(tmp_path):
+    ep = make_episode(tmp_path)
+    out_dir = str(tmp_path / "out")
+    result = pipeline.process_episode(ep, out_dir, num_track_points=9)
+    assert result["status"] == "ok"
+    tracks = np.load(os.path.join(out_dir, "tracks.npz"))
+    assert tracks["tracks_3d"].shape == (30, 18, 3)
+    assert "tracks_2d_100" in tracks and "tracks_2d_200" in tracks
+    extr = np.load(os.path.join(out_dir, "extrinsics.npz"))
+    assert extr["external_100"].shape == (4, 4)
+    assert extr["wrist"].shape == (30, 4, 4)
+    with open(os.path.join(out_dir, "quality.json")) as f:
+        q = json.load(f)
+    assert q["num_frames"] == 30
+    # Idempotency: second run skips.
+    assert pipeline.process_episode(ep, out_dir)["status"] == "skipped"
+
+
+def test_wrist_camera_tracks_consistency(tmp_path):
+    """The wrist camera rides the EE: contact points keep a near-constant
+    position in the wrist camera frame when only the arm (not the gripper)
+    moves — validating the R_fix offset chain (reference
+    `generate_tracks_and_metadata.py:432-460`)."""
+    import h5py
+
+    ep = tmp_path / "ep"
+    ep.mkdir()
+    t = 10
+    cart = np.zeros((t, 6))
+    cart[:, 0] = np.linspace(0.3, 0.6, t)
+    cart[:, 4] = np.linspace(0, 0.8, t)  # pitch changes too
+    grip = np.full((t, 1), 0.5)
+    with h5py.File(ep / "trajectory.h5", "w") as f:
+        f.create_dataset("observation/robot_state/cartesian_position", data=cart)
+        f.create_dataset("observation/robot_state/gripper_position", data=grip)
+
+    tracks = pipeline.generate_tracks(str(ep / "trajectory.h5"), num_track_points=4)
+    extr = pipeline.compute_extrinsics(
+        str(ep / "trajectory.h5"),
+        {},
+        wrist_cam_serial="w",
+        wrist_cam_extrinsics=[0.35, 0.0, 0.35, 0.0, 0.0, 0.0],
+    )
+    cam_t_world = np.linalg.inv(extr["wrist_extrinsics"])  # [T, 4, 4]
+    pts_h = np.concatenate(
+        [tracks["tracks_3d"], np.ones_like(tracks["tracks_3d"][..., :1])], -1
+    )
+    cam_pts = np.einsum("tij,tnj->tni", cam_t_world[:, :3], pts_h)
+    # Constant gripper opening + rigid mount => constant camera-frame coords.
+    spread = cam_pts.std(axis=0).max()
+    assert spread < 1e-6, spread
