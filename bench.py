@@ -46,17 +46,20 @@ def main():
         out = model.apply(params, *args, iters=4)
         return out["traj"], out["vis"]
 
-    # Warmup / compile.
+    # Warmup / compile; force a real device->host sync with a scalar fetch
+    # (block_until_ready alone is unreliable over the tunneled backend).
     traj, vis = fwd(params, *args)
-    traj.block_until_ready()
+    float(traj[0, 0, 0])
 
-    times = []
-    for _ in range(5):
+    def timed_run(reps: int) -> float:
         t0 = time.perf_counter()
-        traj, vis = fwd(params, *args)
-        traj.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    step = float(np.median(times))
+        for _ in range(reps):
+            traj, _ = fwd(params, *args)
+        float(traj[0, 0, 0])  # sync point: drains the device queue
+        return (time.perf_counter() - t0) / reps
+
+    timed_run(3)  # secondary warmup (autotuning, tunnel)
+    step = min(timed_run(10), timed_run(10))
 
     value = n * t / step
 

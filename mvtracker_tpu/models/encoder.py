@@ -76,6 +76,7 @@ class ResidualBlock(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -85,11 +86,13 @@ class ResidualBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)),
             kernel_init=_KAIMING,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         y = nn.relu(instance_norm(y))
         y = nn.Conv(
-            self.planes, (3, 3), padding=((1, 1), (1, 1)), kernel_init=_KAIMING, name="conv2"
+            self.planes, (3, 3), padding=((1, 1), (1, 1)), kernel_init=_KAIMING,
+            dtype=self.dtype, name="conv2"
         )(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1 or x.shape[-1] != self.planes:
@@ -98,6 +101,7 @@ class ResidualBlock(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 kernel_init=_KAIMING,
+                dtype=self.dtype,
                 name="downsample",
             )(x)
             x = instance_norm(x)
@@ -114,26 +118,29 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     stride: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         _, h, w, _ = x.shape
         out_h, out_w = h // self.stride, w // self.stride
 
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            kernel_init=_KAIMING, name="conv1",
+            kernel_init=_KAIMING, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.relu(instance_norm(x))
 
-        a = ResidualBlock(64, stride=1, name="layer1_0")(x)
-        a = ResidualBlock(64, stride=1, name="layer1_1")(a)
-        b = ResidualBlock(96, stride=2, name="layer2_0")(a)
-        b = ResidualBlock(96, stride=1, name="layer2_1")(b)
-        c = ResidualBlock(128, stride=2, name="layer3_0")(b)
-        c = ResidualBlock(128, stride=1, name="layer3_1")(c)
-        d = ResidualBlock(128, stride=2, name="layer4_0")(c)
-        d = ResidualBlock(128, stride=1, name="layer4_1")(d)
+        a = ResidualBlock(64, stride=1, dtype=self.dtype, name="layer1_0")(x)
+        a = ResidualBlock(64, stride=1, dtype=self.dtype, name="layer1_1")(a)
+        b = ResidualBlock(96, stride=2, dtype=self.dtype, name="layer2_0")(a)
+        b = ResidualBlock(96, stride=1, dtype=self.dtype, name="layer2_1")(b)
+        c = ResidualBlock(128, stride=2, dtype=self.dtype, name="layer3_0")(b)
+        c = ResidualBlock(128, stride=1, dtype=self.dtype, name="layer3_1")(c)
+        d = ResidualBlock(128, stride=2, dtype=self.dtype, name="layer4_0")(c)
+        d = ResidualBlock(128, stride=1, dtype=self.dtype, name="layer4_1")(d)
 
         feats = jnp.concatenate(
             [
@@ -146,8 +153,10 @@ class BasicEncoder(nn.Module):
         )
         feats = nn.Conv(
             self.output_dim * 2, (3, 3), padding=((1, 1), (1, 1)),
-            kernel_init=_KAIMING, name="conv2",
+            kernel_init=_KAIMING, dtype=self.dtype, name="conv2",
         )(feats)
         feats = nn.relu(instance_norm(feats))
-        feats = nn.Conv(self.output_dim, (1, 1), kernel_init=_KAIMING, name="conv3")(feats)
-        return feats
+        feats = nn.Conv(
+            self.output_dim, (1, 1), kernel_init=_KAIMING, dtype=self.dtype, name="conv3"
+        )(feats)
+        return feats.astype(jnp.float32)

@@ -77,6 +77,7 @@ class MVTracker(nn.Module):
     corr_add_neighbor_xyz: bool = False
     flow_embed_dim: int = 64
     knn_backend: str = "xla"
+    compute_dtype: str = "float32"  # "bfloat16" runs conv/attention on bf16 MXU paths
 
     @property
     def updateformer_input_dim(self) -> int:
@@ -96,7 +97,8 @@ class MVTracker(nn.Module):
         )
 
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=self.fmaps_dim, stride=self.stride)
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        self.fnet = BasicEncoder(output_dim=self.fmaps_dim, stride=self.stride, dtype=dtype)
         self.updateformer = EfficientUpdateFormer(
             space_depth=self.space_depth,
             time_depth=self.time_depth,
@@ -107,6 +109,7 @@ class MVTracker(nn.Module):
             mlp_ratio=4.0,
             add_space_attn=self.add_space_attn,
             num_virtual_tracks=self.num_virtual_tracks,
+            dtype=dtype,
         )
         # Feature update head (reference `mvtracker.py:178-180`): GroupNorm(1,C)
         # == LayerNorm with affine at eps 1e-5, then Linear+GELU.
@@ -275,99 +278,96 @@ class MVTracker(nn.Module):
         starts = window_starts(t, s)
         n_wind = len(starts)
 
-        traj = jnp.zeros((t, n, 3), jnp.float32)
-        vis = jnp.zeros((t, n), jnp.float32)
+        def window_step(mdl, carry, const, w_start):
+            """One sliding window; scanned with shared params.
 
-        coords_last = None  # [S, N, 3] predictions of the previous window
-        vis_last = None  # [S, N] logits of the previous window
+            carry: (coords_last [S,N,3], vis_last [S,N]) from previous window.
+            """
+            coords_last, vis_last = carry
+            clouds_c, feat_init_c, query_t_c, query_xyz_c = const
 
-        train_coords = []  # per window: [iters, S, N, 3]
-        train_vis = []  # per window: [S, N]
-        window_meta = []
+            frame_idx = jnp.minimum(w_start + jnp.arange(s), t - 1)  # [S]
+            is_first = w_start == 0
 
-        for wi, w_start in enumerate(starts):
-            frame_idx = np.minimum(np.arange(w_start, w_start + s), t - 1)  # static
-            frame_t = jnp.asarray(frame_idx)  # [S]
-            s_local = int(min(s, t - w_start))
+            # Active set (reference p_idx_end: `mvtracker.py:538-541`) and
+            # chained set (processed in a previous window). query_t >= 0, so
+            # `chained` is automatically empty in the first window.
+            active = query_t_c < w_start + s  # [N]
+            chained = query_t_c < w_start
 
-            # Active set for this window (reference p_idx_end: `mvtracker.py:538-541`).
-            active = query_t < w_start + s  # [N]
-            # Chained set: processed in a previous window.
-            chained = query_t < w_start if wi > 0 else jnp.zeros((n,), bool)
-
-            # --- coords/vis init with window chaining (`mvtracker.py:647-655`).
-            base_coords = jnp.broadcast_to(query_xyz[None], (s, n, 3))
+            # coords/vis init with window chaining (`mvtracker.py:647-655`).
+            base_coords = jnp.broadcast_to(query_xyz_c[None], (s, n, 3))
             base_vis = jnp.full((s, n), 10.0, jnp.float32)
-            if wi == 0:
-                coords_init = base_coords
-                vis_init = base_vis
-            else:
-                prev_tail = coords_last[hop:]  # [S/2, N, 3]
-                chained_coords = jnp.concatenate(
-                    [prev_tail, jnp.broadcast_to(prev_tail[-1:], (s - hop, n, 3))], axis=0
-                )
-                prev_vis_tail = vis_last[hop:]
-                chained_vis = jnp.concatenate(
-                    [prev_vis_tail, jnp.broadcast_to(prev_vis_tail[-1:], (s - hop, n))],
-                    axis=0,
-                )
-                coords_init = jnp.where(chained[None, :, None], chained_coords, base_coords)
-                vis_init = jnp.where(chained[None, :], chained_vis, base_vis)
+            prev_tail = coords_last[hop:]
+            chained_coords = jnp.concatenate(
+                [prev_tail, jnp.broadcast_to(prev_tail[-1:], (s - hop, n, 3))], axis=0
+            )
+            prev_vis_tail = vis_last[hop:]
+            chained_vis = jnp.concatenate(
+                [prev_vis_tail, jnp.broadcast_to(prev_vis_tail[-1:], (s - hop, n))], axis=0
+            )
+            coords_init = jnp.where(chained[None, :, None], chained_coords, base_coords)
+            vis_init = jnp.where(chained[None, :], chained_vis, base_vis)
 
-            # --- track-mask feature. The reference zeroes the global mask for
+            # Track-mask feature: the reference zeroes the global mask for
             # frames consumed by earlier windows (`mvtracker.py:695`), which
-            # reduces to: cutoff = query_t for the first window, else
+            # reduces to cutoff = query_t in the first window, else
             # max(query_t, w_start + S/2).
-            if wi == 0:
-                cutoff = query_t
-            else:
-                cutoff = jnp.maximum(query_t, w_start + hop)
-            track_mask = (frame_t[:, None] >= cutoff[None, :]).astype(jnp.float32)
+            cutoff = jnp.where(
+                is_first, query_t_c, jnp.maximum(query_t_c, w_start + hop)
+            )
+            track_mask = (frame_idx[:, None] >= cutoff[None, :]).astype(jnp.float32)
 
             clouds_w = [
-                (xyz[frame_idx], fvec[frame_idx]) for (xyz, fvec) in clouds
+                (jnp.take(xyz, frame_idx, axis=0), jnp.take(fvec, frame_idx, axis=0))
+                for (xyz, fvec) in clouds_c
             ]
 
-            coord_preds, vis_logits = self.forward_iteration(
-                clouds_w,
-                coords_init,
-                vis_init,
-                track_mask,
-                active,
-                feat_init,
+            coord_preds, vis_logits = mdl.forward_iteration(
+                clouds_w, coords_init, vis_init, track_mask, active, feat_init_c,
                 iters=iters,
             )
+            new_carry = (coord_preds[-1], vis_logits)
+            ys = (jnp.stack(coord_preds), vis_logits, active)
+            return new_carry, ys
 
-            coords_last = coord_preds[-1]
-            vis_last = vis_logits
+        scanned = nn.scan(
+            window_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+        )
+        carry0 = (
+            jnp.broadcast_to(query_xyz[None], (s, n, 3)),
+            jnp.full((s, n), 10.0, jnp.float32),
+        )
+        const = (clouds, feat_init, query_t, query_xyz)
+        _, (all_coords, all_vis, all_active) = scanned(
+            self, carry0, const, jnp.asarray(starts)
+        )
+        # all_coords: [W, iters, S, N, 3]; all_vis: [W, S, N]; all_active: [W, N]
 
-            # --- write results for real frames of this window, active points
-            # only (`mvtracker.py:692-693`).
-            upd = jnp.where(active[None, :, None], coords_last[:s_local], traj[w_start : w_start + s_local])
-            traj = jax.lax.dynamic_update_slice(traj, upd, (w_start, 0, 0))
-            upd_v = jnp.where(
-                active[None, :], jax.nn.sigmoid(vis_logits[:s_local]), vis[w_start : w_start + s_local]
-            )
-            vis = jax.lax.dynamic_update_slice(vis, upd_v, (w_start, 0))
-
-            if is_train:
-                train_coords.append(jnp.stack(coord_preds))  # [iters, S, N, 3]
-                train_vis.append(vis_logits)
-                window_meta.append(
-                    dict(
-                        start=w_start,
-                        frame_idx=frame_idx,
-                        s_local=s_local,
-                        active=active,
-                    )
-                )
+        # Compose the [T]-indexed outputs: for each frame, the LAST window
+        # covering it wins (the reference overwrites the overlap,
+        # `mvtracker.py:692-693`); inactive points keep zeros, exactly like
+        # the reference's untouched placeholder rows (`mvtracker.py:528-529`).
+        t_idx = np.arange(t)
+        w_of_t = np.minimum(t_idx // hop, n_wind - 1)  # [T] static
+        local_s = t_idx - w_of_t * hop  # [T] static, < S by construction
+        final_coords = all_coords[:, -1]  # [W, S, N, 3]
+        traj = final_coords[w_of_t, local_s]  # [T, N, 3]
+        vis = jax.nn.sigmoid(all_vis[w_of_t, local_s])  # [T, N]
+        active_t = all_active[w_of_t]  # [T, N]
+        traj = jnp.where(active_t[..., None], traj, 0.0)
+        vis = jnp.where(active_t, vis, 0.0)
 
         out = {"traj": traj, "vis": vis, "feat_init": feat_init}
         if is_train:
             out["train_data"] = {
-                "coord_predictions": jnp.stack(train_coords),  # [W, iters, S, N, 3]
-                "vis_predictions": jnp.stack(train_vis),  # [W, S, N]
+                "coord_predictions": all_coords,  # [W, iters, S, N, 3]
+                "vis_predictions": all_vis,  # [W, S, N]
                 "window_starts": np.asarray(starts),
-                "window_active": jnp.stack([m["active"] for m in window_meta]),  # [W, N]
+                "window_active": all_active,  # [W, N]
             }
         return out

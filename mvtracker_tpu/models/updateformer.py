@@ -47,6 +47,7 @@ class Attention(nn.Module):
     num_heads: int = 8
     dim_head: int = 48
     qkv_bias: bool = True
+    dtype: object = None  # compute dtype (bf16 for MXU); params stay fp32
 
     @nn.compact
     def __call__(
@@ -57,8 +58,8 @@ class Attention(nn.Module):
     ) -> jax.Array:
         inner = self.num_heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=self.qkv_bias, kernel_init=_XAVIER, name="to_q")(x)
-        kv = nn.Dense(2 * inner, use_bias=self.qkv_bias, kernel_init=_XAVIER, name="to_kv")(ctx)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, kernel_init=_XAVIER, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(2 * inner, use_bias=self.qkv_bias, kernel_init=_XAVIER, dtype=self.dtype, name="to_kv")(ctx)
         k, v = jnp.split(kv, 2, axis=-1)
 
         b, nq, _ = q.shape
@@ -69,23 +70,25 @@ class Attention(nn.Module):
 
         scale = self.dim_head**-0.5
         sim = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        # Softmax in fp32 regardless of compute dtype (numerics).
+        sim = sim.astype(jnp.float32)
         if key_mask is not None:
-            neg = jnp.asarray(jnp.finfo(sim.dtype).min, sim.dtype)
-            sim = jnp.where(key_mask[:, None, None, :], sim, neg)
-        attn = jax.nn.softmax(sim, axis=-1)
+            sim = jnp.where(key_mask[:, None, None, :], sim, jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, inner)
-        return nn.Dense(self.query_dim, kernel_init=_XAVIER, name="to_out")(out)
+        return nn.Dense(self.query_dim, kernel_init=_XAVIER, dtype=self.dtype, name="to_out")(out)
 
 
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, kernel_init=_XAVIER, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_XAVIER, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(self.out, kernel_init=_XAVIER, name="fc2")(x)
+        return nn.Dense(self.out, kernel_init=_XAVIER, dtype=self.dtype, name="fc2")(x)
 
 
 class AttnBlock(nn.Module):
@@ -94,15 +97,16 @@ class AttnBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, key_mask=None):
-        x = x + Attention(self.hidden_size, num_heads=self.num_heads, name="attn")(
-            _layer_norm_noaffine(x), key_mask=key_mask
-        )
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, name="mlp")(
-            _layer_norm_noaffine(x)
-        )
+        x = x + Attention(
+            self.hidden_size, num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(_layer_norm_noaffine(x).astype(x.dtype), key_mask=key_mask)
+        x = x + Mlp(
+            int(self.hidden_size * self.mlp_ratio), self.hidden_size, dtype=self.dtype, name="mlp"
+        )(_layer_norm_noaffine(x).astype(x.dtype))
         return x
 
 
@@ -116,16 +120,17 @@ class CrossAttnBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, context, key_mask=None):
-        ctx = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
-        x = x + Attention(self.hidden_size, num_heads=self.num_heads, name="cross_attn")(
-            _layer_norm_noaffine(x), context=ctx, key_mask=key_mask
-        )
-        x = x + Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, name="mlp")(
-            _layer_norm_noaffine(x)
-        )
+        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
+        x = x + Attention(
+            self.hidden_size, num_heads=self.num_heads, dtype=self.dtype, name="cross_attn"
+        )(_layer_norm_noaffine(x).astype(x.dtype), context=ctx, key_mask=key_mask)
+        x = x + Mlp(
+            int(self.hidden_size * self.mlp_ratio), self.hidden_size, dtype=self.dtype, name="mlp"
+        )(_layer_norm_noaffine(x).astype(x.dtype))
         return x
 
 
@@ -145,11 +150,16 @@ class EfficientUpdateFormer(nn.Module):
     mlp_ratio: float = 4.0
     add_space_attn: bool = True
     num_virtual_tracks: int = 64
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, track_mask: Optional[jax.Array] = None) -> jax.Array:
         b, n, t, _ = x.shape
-        tokens = nn.Dense(self.hidden_size, kernel_init=_XAVIER, name="input_transform")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        tokens = nn.Dense(
+            self.hidden_size, kernel_init=_XAVIER, dtype=self.dtype, name="input_transform"
+        )(x)
 
         virtual = self.param(
             "virtual_tracks",
@@ -161,20 +171,20 @@ class EfficientUpdateFormer(nn.Module):
         n_tot = n + self.num_virtual_tracks
 
         time_blocks = [
-            AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, name=f"time_{i}")
+            AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"time_{i}")
             for i in range(self.time_depth)
         ]
         if self.add_space_attn:
             v2p = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, name=f"sv2p_{i}")
+                CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"sv2p_{i}")
                 for i in range(self.space_depth)
             ]
             vself = [
-                AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, name=f"svirt_{i}")
+                AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"svirt_{i}")
                 for i in range(self.space_depth)
             ]
             p2v = [
-                CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, name=f"sp2v_{i}")
+                CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"sp2v_{i}")
                 for i in range(self.space_depth)
             ]
             interval = self.time_depth // self.space_depth
@@ -203,7 +213,7 @@ class EfficientUpdateFormer(nn.Module):
                 tokens = st.reshape(b, t, n_tot, self.hidden_size).transpose(0, 2, 1, 3)
                 j += 1
 
-        tokens = tokens[:, :n]
+        tokens = tokens[:, :n].astype(jnp.float32)
 
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_0")(tokens)
         y = nn.relu(y)
