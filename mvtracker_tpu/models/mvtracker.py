@@ -133,10 +133,13 @@ class MVTracker(nn.Module):
         fmaps = self.fnet(x)
         return fmaps.reshape(v, t, h // self.stride, w // self.stride, self.fmaps_dim)
 
-    def _build_clouds(self, fmaps, depths_strided, intrs, extrs):
-        """Per-level fused world-space clouds for the full video.
+    def _build_context(self, fmaps, depths_strided, intrs, extrs):
+        """Correlation context for the full video — variant hook.
 
-        Returns list over levels of (xyz [T, P_l, 3], fvec [T, P_l, C]).
+        MVTracker: per-level fused world-space clouds; a pytree whose leaves
+        all have a leading T (frame) axis, so the window scan can gather
+        frames uniformly. Returns list over levels of
+        (xyz [T, P_l, 3], fvec [T, P_l, C]).
         """
         clouds = []
         for lvl in range(self.corr_n_levels):
@@ -151,13 +154,13 @@ class MVTracker(nn.Module):
             clouds.append((xyz, fvec))  # [T, P_l, 3], [T, P_l, C]
         return clouds
 
-    def _feat_init(self, cloud0_xyz, cloud0_fvec, query_t, query_xyz):
+    def _feat_init(self, context, query_t, query_xyz):
         """Per-query feature init: k=1 NN lookup into the level-0 cloud of
         each query's start frame (reference `mvtracker.py:606-645`).
 
-        cloud0_*: [T, P, 3/C]; query_t: [N] int; query_xyz: [N, 3].
-        Returns [N, C].
+        query_t: [N] int; query_xyz: [N, 3]. Returns [N, C].
         """
+        cloud0_xyz, cloud0_fvec = context[0]
         t = cloud0_xyz.shape[0]
         n = query_xyz.shape[0]
         # kNN of every query against every frame's cloud (batch = frames),
@@ -170,7 +173,7 @@ class MVTracker(nn.Module):
 
     def forward_iteration(
         self,
-        clouds_w,  # list over levels of (xyz [S, P_l, 3], fvec [S, P_l, C])
+        context_w,  # windowed correlation context (variant-specific pytree)
         coords_init,  # [S, N, 3]
         vis_init,  # [S, N]
         track_mask,  # [S, N] float (the transformer input feature)
@@ -205,24 +208,7 @@ class MVTracker(nn.Module):
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
 
-            fcorrs = []
-            for lvl in range(self.corr_n_levels):
-                xyz_l, fvec_l = clouds_w[lvl]
-                _, idx = knn_ops.knn(
-                    xyz_l, coords, self.corr_neighbors, backend=self.knn_backend
-                )
-                fc = corr_ops.corr_sample(
-                    xyz_l,
-                    fvec_l,
-                    ffeats,
-                    coords,
-                    idx,
-                    groups=self.corr_n_groups,
-                    add_neighbor_offset=self.corr_add_neighbor_offset,
-                    add_neighbor_xyz=self.corr_add_neighbor_xyz,
-                )  # [S, N, K, F]
-                fcorrs.append(fc.reshape(s, n, -1))
-            fcorrs = jnp.concatenate(fcorrs, axis=-1)  # [S, N, LRR]
+            fcorrs = self._corr_features(context_w, coords, ffeats)  # [S, N, LRR]
 
             flows = coords - coords[0:1]  # [S, N, 3]
             flows_emb = emb.coord_embedding_3d(flows, self.flow_embed_dim)  # [S,N,195]
@@ -246,6 +232,33 @@ class MVTracker(nn.Module):
 
         vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
         return coord_predictions, vis_logits
+
+    def _corr_features(self, context_w, coords, ffeats):
+        """Correlation features per (frame, track) — variant hook.
+
+        MVTracker: kNN into each pyramid level's fused cloud + grouped
+        correlation (reference `PointcloudCorrBlock.corr_sample`,
+        `mvtracker.py:800-846`). Returns [S, N, LRR].
+        """
+        s, n, _ = coords.shape
+        fcorrs = []
+        for lvl in range(self.corr_n_levels):
+            xyz_l, fvec_l = context_w[lvl]
+            _, idx = knn_ops.knn(
+                xyz_l, coords, self.corr_neighbors, backend=self.knn_backend
+            )
+            fc = corr_ops.corr_sample(
+                xyz_l,
+                fvec_l,
+                ffeats,
+                coords,
+                idx,
+                groups=self.corr_n_groups,
+                add_neighbor_offset=self.corr_add_neighbor_offset,
+                add_neighbor_xyz=self.corr_add_neighbor_xyz,
+            )  # [S, N, K, F]
+            fcorrs.append(fc.reshape(s, n, -1))
+        return jnp.concatenate(fcorrs, axis=-1)
 
     # ------------------------------------------------------------------
     # Full forward
@@ -272,8 +285,8 @@ class MVTracker(nn.Module):
         fmaps = self.compute_fmaps(rgbs)  # [V, T, h, w, C]
         depths_strided = depths[:, :, :: self.stride, :: self.stride]  # [V, T, h, w]
 
-        clouds = self._build_clouds(fmaps, depths_strided, intrs, extrs)
-        feat_init = self._feat_init(clouds[0][0], clouds[0][1], query_t, query_xyz)
+        context = self._build_context(fmaps, depths_strided, intrs, extrs)
+        feat_init = self._feat_init(context, query_t, query_xyz)
 
         starts = window_starts(t, s)
         n_wind = len(starts)
@@ -284,7 +297,7 @@ class MVTracker(nn.Module):
             carry: (coords_last [S,N,3], vis_last [S,N]) from previous window.
             """
             coords_last, vis_last = carry
-            clouds_c, feat_init_c, query_t_c, query_xyz_c = const
+            context_c, feat_init_c, query_t_c, query_xyz_c = const
 
             frame_idx = jnp.minimum(w_start + jnp.arange(s), t - 1)  # [S]
             is_first = w_start == 0
@@ -318,13 +331,12 @@ class MVTracker(nn.Module):
             )
             track_mask = (frame_idx[:, None] >= cutoff[None, :]).astype(jnp.float32)
 
-            clouds_w = [
-                (jnp.take(xyz, frame_idx, axis=0), jnp.take(fvec, frame_idx, axis=0))
-                for (xyz, fvec) in clouds_c
-            ]
+            context_w = jax.tree.map(
+                lambda a: jnp.take(a, frame_idx, axis=0), context_c
+            )
 
             coord_preds, vis_logits = mdl.forward_iteration(
-                clouds_w, coords_init, vis_init, track_mask, active, feat_init_c,
+                context_w, coords_init, vis_init, track_mask, active, feat_init_c,
                 iters=iters,
             )
             new_carry = (coord_preds[-1], vis_logits)
@@ -342,7 +354,7 @@ class MVTracker(nn.Module):
             jnp.broadcast_to(query_xyz[None], (s, n, 3)),
             jnp.full((s, n), 10.0, jnp.float32),
         )
-        const = (clouds, feat_init, query_t, query_xyz)
+        const = (context, feat_init, query_t, query_xyz)
         _, (all_coords, all_vis, all_active) = scanned(
             self, carry0, const, jnp.asarray(starts)
         )
