@@ -39,7 +39,9 @@ def main():
     model = MVTracker()
     # Device-resident inputs: we measure chip compute, not host transfer.
     args = tuple(jax.device_put(a) for a in _make_scene(rng, v, t, h, w, n))
-    params = model.init(jax.random.PRNGKey(0), *args, iters=4)
+    params = jax.jit(lambda k, *a: model.init(k, *a, iters=4))(
+        jax.random.PRNGKey(0), *args
+    )
 
     @jax.jit
     def fwd(params, *args):

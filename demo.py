@@ -94,10 +94,10 @@ def main(argv=None):
             logging.info("loaded checkpoint step %d", latest)
     if params is None:
         logging.warning("no checkpoint: using random init (demo plumbing only)")
-        params = model.init(
+        params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
             jax.random.PRNGKey(0),
             jnp.asarray(rgbs), jnp.asarray(depths), jnp.asarray(query),
-            jnp.asarray(intrs), jnp.asarray(extrs), iters=1,
+            jnp.asarray(intrs), jnp.asarray(extrs),
         )
 
     predictor = EvaluationPredictor(

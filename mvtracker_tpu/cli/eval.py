@@ -41,14 +41,13 @@ def main(argv=None):
     example = dataset[0]
     import jax.numpy as jnp
 
-    params = model.init(
+    params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
         jax.random.PRNGKey(0),
         jnp.asarray(example.video),
         jnp.asarray(example.videodepth),
         jnp.asarray(example.query_points_3d),
         jnp.asarray(example.intrs),
         jnp.asarray(example.extrs),
-        iters=1,
     )
     trainer = Trainer(model, cfg.trainer)
     optimizer = trainer.optimizer

@@ -60,15 +60,17 @@ def make_optimizer(
 
 
 def init_state(model, optimizer, example_scene, rng_key, iters: int = 4) -> TrainState:
-    params = model.init(
+    # NOTE: flax init must be jitted — eager init dispatches thousands of
+    # individual ops (pathological over a remote/tunneled TPU backend).
+    params = jax.jit(
+        lambda key, r, d, q, i, e: model.init(key, r, d, q, i, e, iters=iters, is_train=True)
+    )(
         rng_key,
         example_scene["rgbs"],
         example_scene["depths"],
         example_scene["query_points"],
         example_scene["intrs"],
         example_scene["extrs"],
-        iters=iters,
-        is_train=True,
     )
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
