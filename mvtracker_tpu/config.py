@@ -39,7 +39,7 @@ class ModelConfig:
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
     flow_embed_dim: int = 64
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
 
 
 @dataclasses.dataclass

@@ -76,7 +76,7 @@ class MVTracker(nn.Module):
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
     flow_embed_dim: int = 64
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
     compute_dtype: str = "float32"  # "bfloat16" runs conv/attention on bf16 MXU paths
 
     @property

@@ -207,11 +207,17 @@ def knn_pallas(
     return jnp.sqrt(dist[:, :m, :k]), idx[:, :m, :k]
 
 
-def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "xla"):
+def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     """Batched kNN dispatch; mirrors the reference's `knn()` contract
     (`mvtracker/mvtracker.py:26-90`): returns (dists [B,M,k], idx [B,M,k]),
     sorted by ascending distance.
+
+    backend="auto" picks the Pallas streaming kernel on TPU (measured ~10x
+    faster than matmul+lax.top_k at the tracker's level-0 shapes) and the
+    XLA path elsewhere (Pallas needs interpret mode off-TPU).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
     if backend == "xla":
         return knn_xla(ref, query, k)
     if backend == "pallas":
