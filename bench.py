@@ -36,7 +36,9 @@ def main():
     # views 0-3), 24 frames at 256x256, 256 query points.
     v, t, h, w, n = 4, 24, 256, 256, 256
     rng = np.random.default_rng(0)
-    model = MVTracker()
+    # bf16 compute matches the reference's bf16-mixed precision setting
+    # (`configs/model/mvtracker.yaml:57`); geometry/kNN stay fp32.
+    model = MVTracker(compute_dtype="bfloat16")
     # Device-resident inputs: we measure chip compute, not host transfer.
     args = tuple(jax.device_put(a) for a in _make_scene(rng, v, t, h, w, n))
     params = jax.jit(lambda k, *a: model.init(k, *a, iters=4))(

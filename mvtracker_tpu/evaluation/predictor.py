@@ -118,6 +118,9 @@ class EvaluationPredictor:
         n_grids_per_view: int = 1,
         num_uniformly_sampled_pts: int = 0,
         n_iters: int = 6,
+        single_point: bool = False,
+        local_grid_size: int = 8,
+        local_extent: int = 50,
     ):
         self.model = model
         self.params = params
@@ -127,6 +130,9 @@ class EvaluationPredictor:
         self.n_grids_per_view = n_grids_per_view
         self.num_uniformly_sampled_pts = num_uniformly_sampled_pts
         self.n_iters = n_iters
+        self.single_point = single_point
+        self.local_grid_size = local_grid_size
+        self.local_extent = local_extent
         self._jitted = {}
 
     def _forward(self, rgbs, depths, queries, intrs, extrs):
@@ -178,6 +184,11 @@ class EvaluationPredictor:
                 )
             )
 
+        if self.single_point:
+            return self._forward_single_point(
+                rgbs, depths, query_points, intrs, extrs, support
+            )
+
         queries = query_points
         if support:
             queries = jnp.concatenate([query_points] + support, axis=0)
@@ -185,6 +196,71 @@ class EvaluationPredictor:
         traj, vis = self._forward(rgbs, depths, queries, intrs, extrs)
         traj = traj[:, :n]
         vis = vis[:, :n]
+        return {
+            "traj": traj,
+            "vis": vis,
+            "occluded": vis < self.visibility_threshold,
+        }
+
+    def _local_grid_points(self, depths, intrs, extrs, query):
+        """Local support grid around one query's projection in every view.
+
+        Mirrors reference `evaluation_predictor_3dpt.py:191-339`: project the
+        query into each view at its query frame, lay a local_grid_size^2
+        pixel grid of local_extent pixels around the projection, unproject
+        through the depth map.
+        """
+        v, t, h, w = depths.shape
+        g = self.local_grid_size
+        qt = query[0].astype(jnp.int32)
+        qxyz = query[1:]
+
+        intrs_inv = geo.invert_intrinsics(intrs)
+        extrs_inv = geo.invert_extrinsics(extrs)
+
+        pts = []
+        for vi in range(v):
+            intr = jnp.take(intrs[vi], qt, axis=0)
+            extr = jnp.take(extrs[vi], qt, axis=0)
+            pix, _ = geo.world_to_pixel_xy_and_camera_z(
+                qxyz[None, None, :], intr[None], extr[None]
+            )
+            cx, cy = pix[0, 0, 0], pix[0, 0, 1]
+            half = self.local_extent / 2
+            lin = jnp.linspace(-half, half, g)
+            gx, gy = jnp.meshgrid(cx + lin, cy + lin, indexing="xy")
+            grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [G2, 2]
+            grid = jnp.clip(
+                grid, jnp.zeros((2,)), jnp.asarray([w - 1.0, h - 1.0])
+            )
+            depth_q = jnp.take(depths[vi], qt, axis=0)  # [H, W]
+            z = geo.bilinear_sample2d(
+                depth_q[None, :, :, None], grid[None, :, 0], grid[None, :, 1]
+            )[0]
+            world = geo.pixel_xy_and_camera_z_to_world(
+                grid[None],
+                z[None],
+                jnp.take(intrs_inv[vi], qt, axis=0)[None],
+                jnp.take(extrs_inv[vi], qt, axis=0)[None],
+            )[0]
+            tcol = jnp.full((world.shape[0], 1), query[0])
+            pts.append(jnp.concatenate([tcol, world], axis=1))
+        return jnp.concatenate(pts, axis=0)
+
+    def _forward_single_point(self, rgbs, depths, query_points, intrs, extrs, support):
+        """One model run per query with a local support grid
+        (reference single_point mode, `evaluation_predictor_3dpt.py:191-339`)."""
+        n = query_points.shape[0]
+        trajs, viss = [], []
+        for i in range(n):
+            q = query_points[i]
+            local = self._local_grid_points(depths, intrs, extrs, q)
+            queries = jnp.concatenate([q[None]] + [local] + support, axis=0)
+            traj, vis = self._forward(rgbs, depths, queries, intrs, extrs)
+            trajs.append(traj[:, 0])
+            viss.append(vis[:, 0])
+        traj = jnp.stack(trajs, axis=1)
+        vis = jnp.stack(viss, axis=1)
         return {
             "traj": traj,
             "vis": vis,
