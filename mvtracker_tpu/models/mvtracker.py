@@ -78,6 +78,11 @@ class MVTracker(nn.Module):
     flow_embed_dim: int = 64
     knn_backend: str = "auto"
     compute_dtype: str = "float32"  # "bfloat16" runs conv/attention on bf16 MXU paths
+    # Optional PTv3-equivalent cloud backbone (reference `use_ptv3`,
+    # `evaluator_3dpt.py:245`): serialized point transformer refining the
+    # level-0 fused cloud features before correlation.
+    use_point_transformer: bool = False
+    point_transformer_depth: int = 2
 
     @property
     def updateformer_input_dim(self) -> int:
@@ -116,6 +121,14 @@ class MVTracker(nn.Module):
         self.ffeats_norm = nn.LayerNorm(epsilon=1e-5)
         self.ffeats_updater = nn.Dense(self.fmaps_dim)
         self.vis_predictor = nn.Dense(1)
+        if self.use_point_transformer:
+            from mvtracker_tpu.models.point_transformer import SerializedPointTransformer
+
+            self.cloud_backbone = SerializedPointTransformer(
+                dim=self.fmaps_dim,
+                depth=self.point_transformer_depth,
+                dtype=dtype,
+            )
 
     # ------------------------------------------------------------------
     # Sub-computations
@@ -151,6 +164,10 @@ class MVTracker(nn.Module):
                 stride=self.stride,
                 level=lvl,
             )
+            if lvl == 0 and self.use_point_transformer:
+                # Per-frame serialized-attention refinement of the fused
+                # cloud (PTv3-equivalent backbone).
+                fvec = jax.vmap(self.cloud_backbone)(xyz, fvec)
             clouds.append((xyz, fvec))  # [T, P_l, 3], [T, P_l, C]
         return clouds
 
