@@ -66,6 +66,9 @@ class Evaluator:
         for i, datapoint in enumerate(dataset):
             if max_sequences is not None and i >= max_sequences:
                 break
+            if hasattr(predictor, "set_sequence"):
+                # Cached-prediction baselines (reference `evaluator_3dpt.py:497-514`).
+                predictor.set_sequence(datapoint.seq_name)
             t0 = time.perf_counter()
             out = predictor(
                 jnp.asarray(datapoint.video),

@@ -112,21 +112,35 @@ def make_train_step(
     vis_weight: float = 0.1,
     mesh=None,
     shard_views: bool = False,
+    shard_tracks: bool = False,
 ):
     """Build the jitted SPMD train step: (state, batch) -> (state, metrics).
 
     `batch` is a pytree of arrays with a leading scene axis, sharded over
     the mesh "data" axis by the caller (`parallel.mesh.shard_batch_pytree`).
+
+    Intra-scene sharding over the "model" axis (SURVEY §2.6 TPU-native
+    plan): `shard_views` splits the V camera streams during CNN encoding;
+    `shard_tracks` splits the N track blocks through kNN/correlation/
+    transformer — the virtual-track cross-attention is the all-gather point.
+    XLA's SPMD partitioner inserts the collectives for both.
     """
 
     def batch_loss(params, batch):
-        if shard_views and mesh is not None:
-            # Views sharded over the model axis during encoding; everything
-            # downstream re-gathers as needed (XLA inserts the collectives).
+        if mesh is not None and (shard_views or shard_tracks):
             batch = dict(batch)
-            batch["rgbs"] = jax.lax.with_sharding_constraint(
-                batch["rgbs"], NamedSharding(mesh, P("data", "model"))
-            )
+            if shard_views:
+                # Views sharded over the model axis during encoding;
+                # downstream re-gathers as needed.
+                batch["rgbs"] = jax.lax.with_sharding_constraint(
+                    batch["rgbs"], NamedSharding(mesh, P("data", "model"))
+                )
+            if shard_tracks:
+                # Track blocks sharded over the model axis: query-dependent
+                # tensors keep N split through correlation + refinement.
+                batch["query_points"] = jax.lax.with_sharding_constraint(
+                    batch["query_points"], NamedSharding(mesh, P("data", "model"))
+                )
         per_scene = jax.vmap(
             lambda sc: scene_loss(model, params, sc, iters, gamma, vis_weight)
         )(batch)
