@@ -188,6 +188,7 @@ class KubricMultiViewDataset:
         seed: int = 0,
         max_frames: Optional[int] = None,
         sanity_check_projection: bool = False,
+        depth_noise_cm: float = 0.0,
     ):
         self.root = root
         self.scenes = sorted(
@@ -198,6 +199,29 @@ class KubricMultiViewDataset:
         self.seed = seed
         self.max_frames = max_frames
         self.sanity_check_projection = sanity_check_projection
+        self.depth_noise_cm = depth_noise_cm
+
+    @staticmethod
+    def from_name(dataset_name: str, dataset_root: str) -> "KubricMultiViewDataset":
+        """Name-grammar factory; mirrors the reference's mini-DSL
+        (`kubric_multiview_dataset.py:30-204`), e.g.
+        'kubric-multiview-v3-views0_1_2_3-noise2cm'. Depth-source variants
+        (-duster...) require the corresponding precomputed artifacts."""
+        import re
+
+        rest = dataset_name
+        views = None
+        m = re.search(r"-views((?:\d+_?)+)", rest)
+        if m:
+            views = list(map(int, m.group(1).rstrip("_").split("_")))
+        noise = 0.0
+        m = re.search(r"-noise([\d.]+)cm", rest)
+        if m:
+            noise = float(m.group(1))
+        seed = 0 if "-cached" in rest else 0  # -cached = frozen sampling seed
+        return KubricMultiViewDataset(
+            dataset_root, view_subset=views, seed=seed, depth_noise_cm=noise
+        )
 
     def __len__(self):
         return len(self.scenes)
@@ -230,6 +254,11 @@ class KubricMultiViewDataset:
             intrs, extrs = intrs[:, :t], extrs[:, :t]
             tracks_3d, occ = tracks_3d[:t], occ[:, :t]
             raw["tracks_2d"] = raw["tracks_2d"][:, :t]
+
+        if self.depth_noise_cm > 0:
+            # Additive gaussian depth noise (reference '-noise{x}cm' variant).
+            noise = rng.normal(0, self.depth_noise_cm / 100.0, size=depth.shape)
+            depth = np.where(depth > 0, depth + noise.astype(depth.dtype), depth)
 
         visibility = ~occ  # [V, T, N]
         vis_any = visibility.any(axis=0)

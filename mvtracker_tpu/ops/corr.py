@@ -55,15 +55,32 @@ def corr_sample(
     groups: int = 1,
     add_neighbor_offset: bool = True,
     add_neighbor_xyz: bool = False,
+    backend: str = "auto",
 ) -> jax.Array:
     """Correlation features for each track point, given precomputed kNN.
 
     Output feature layout per neighbor matches the reference
     (`mvtracker/mvtracker.py:832-846`): [corr (G) | offset (3)? | xyz (3)?],
     flattened over neighbors by the caller. Returns [B, M, K, F].
+
+    backend="auto" uses the fused Pallas matmul+select kernel on TPU for the
+    single-group case (avoids the slow random-access feature gather); the
+    gather+einsum path covers everything else.
     """
-    neighbor_fvec = gather_neighbors(cloud_fvec, neighbor_idx)
-    out = grouped_correlation(targets, neighbor_fvec, groups)
+    use_pallas = (
+        backend in ("auto", "pallas")
+        and groups == 1
+        and (backend == "pallas" or jax.default_backend() not in ("cpu", "gpu"))
+    )
+    if use_pallas:
+        from mvtracker_tpu.ops.corr_pallas import corr_select_pallas
+
+        c = cloud_fvec.shape[-1]
+        corr = corr_select_pallas(cloud_fvec, targets, neighbor_idx)
+        out = (corr[..., None] / jnp.sqrt(float(c))).astype(targets.dtype)
+    else:
+        neighbor_fvec = gather_neighbors(cloud_fvec, neighbor_idx)
+        out = grouped_correlation(targets, neighbor_fvec, groups)
     if add_neighbor_offset or add_neighbor_xyz:
         neighbor_xyz = gather_neighbors(cloud_xyz, neighbor_idx)
         if add_neighbor_offset:

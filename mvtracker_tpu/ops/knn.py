@@ -36,9 +36,19 @@ def _sq_dists(query: jax.Array, ref: jax.Array) -> jax.Array:
     """Squared distances [B, M, N] from [B, M, 3] x [B, N, 3], fp32.
 
     Computed as |q|^2 - 2 q.r + |r|^2 with the cross term on the MXU.
+    Numerics: points are centered on the per-batch query mean first (the
+    expansion suffers catastrophic cancellation for points far from the
+    origin), and the cross term runs at HIGHEST precision — TPU's default
+    matmul precision is bf16, which is useless for cm-scale distances in
+    m-scale scenes.
     """
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
+    # First query as center (not the mean: zero-padded chunk tails from
+    # knn_xla's query chunking would skew a mean).
+    center = query[:, 0:1]
+    query = query - center
+    ref = ref - center
     qn = jnp.sum(query * query, axis=-1)  # [B, M]
     rn = jnp.sum(ref * ref, axis=-1)  # [B, N]
     cross = jax.lax.dot_general(
@@ -46,6 +56,7 @@ def _sq_dists(query: jax.Array, ref: jax.Array) -> jax.Array:
         ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, M, N]
     d2 = qn[:, :, None] - 2.0 * cross + rn[:, None, :]
     return jnp.maximum(d2, 0.0)
@@ -104,10 +115,21 @@ def _knn_kernel(q_ref, r_ref, dist_out, idx_out, *, k: int, ref_tile: int, n_rea
     q = q_ref[0]  # [3, TQ]
     r = r_ref[0]  # [3, TN]
 
+    # Center on the query tile mean: the |q|^2 - 2qr + |r|^2 expansion
+    # cancels catastrophically for coordinates far from the origin, and the
+    # MXU cross-term must run at HIGHEST precision (TPU default matmuls are
+    # bf16 — ~1% error, useless for cm-scale neighbor distances).
+    # The first query of the tile is as good a center as the mean, and is
+    # immune to the zero-padded tail of the last tile skewing it.
+    center = q[:, 0:1]  # [3, 1]
+    q = q - center
+    r = r - center
+
     # Squared distances via MXU: [TQ, TN]
     cross = jax.lax.dot_general(
         q, r, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     qn = jnp.sum(q * q, axis=0)[:, None]  # [TQ, 1]
     rn = jnp.sum(r * r, axis=0)[None, :]  # [1, TN]

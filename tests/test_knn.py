@@ -61,3 +61,21 @@ def test_knn_k1_feature_init_case(rng):
     query = ref[:, 5:35] + 1e-4  # queries sit (almost) on known points
     d, i = knn_mod.knn.knn(ref, query, 1)
     np.testing.assert_array_equal(np.asarray(i[0, :, 0]), np.arange(5, 35))
+
+
+def test_knn_far_from_origin(rng):
+    """Distance computation must survive scenes far from the origin (the
+    |q|^2-2qr+|r|^2 expansion cancels catastrophically without centering;
+    on TPU the default bf16 matmul makes it worse — both are fixed by
+    query-centering + HIGHEST precision)."""
+    b, n, m, k = 1, 400, 50, 8
+    offset = np.asarray([100.0, -50.0, 200.0], np.float32)
+    ref = (rng.normal(size=(b, n, 3)) * 0.1 + offset).astype(np.float32)
+    query = (rng.normal(size=(b, m, 3)) * 0.1 + offset).astype(np.float32)
+    d_np, _ = brute_force(ref, query, k)
+    d1, _ = knn_mod.knn.knn_xla(jnp.asarray(ref), jnp.asarray(query), k)
+    np.testing.assert_allclose(np.asarray(d1), d_np, atol=1e-3)
+    d2, _ = knn_mod.knn.knn_pallas(
+        jnp.asarray(ref), jnp.asarray(query), k, query_tile=64, ref_tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(d2), d_np, atol=1e-3)
