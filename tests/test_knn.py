@@ -38,7 +38,16 @@ def test_knn_xla_chunked_matches_reference(rng):
     d0, i0 = knn_mod.knn.knn_reference(ref, query, k)
     d1, i1 = knn_mod.knn.knn_xla(ref, query, k, query_chunk=256)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # Indices may differ on fp ties (per-chunk centering changes rounding);
+    # the gathered points' distances must agree.
+    gathered = np.take_along_axis(
+        np.linalg.norm(
+            np.asarray(query)[:, :, None] - np.asarray(ref)[:, None], axis=-1
+        ),
+        np.asarray(i1),
+        axis=-1,
+    )
+    np.testing.assert_allclose(gathered, np.asarray(d0), atol=1e-4)
 
 
 def test_knn_pallas_interpret_matches_reference(rng):
