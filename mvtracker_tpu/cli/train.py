@@ -23,7 +23,15 @@ def main(argv=None):
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
 
+    import os
+
     import jax
+
+    # Multi-host: initialize the distributed runtime when launched under a
+    # multi-process environment (TPU pod slice / SLURM — the reference's
+    # SLURM-derived Fabric setup, `cli/train.py:353-365`).
+    if os.environ.get("MVTRACKER_DISTRIBUTED", "0") == "1":
+        jax.distributed.initialize()
 
     from mvtracker_tpu.config import build_dataset, build_model, load_config
     from mvtracker_tpu.datasets.loader import PrefetchLoader

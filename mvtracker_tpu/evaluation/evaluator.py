@@ -49,9 +49,60 @@ EVALUATION_SETTINGS = {
 class Evaluator:
     """Evaluate a predictor over an iterable of Datapoints."""
 
-    def __init__(self, evaluation_setting: str = "kubric-multiview"):
+    def __init__(
+        self,
+        evaluation_setting: str = "kubric-multiview",
+        compute_2d_metrics: bool = False,
+        pixel_thresholds=(1, 2, 4, 8, 16),
+    ):
         self.setting = evaluation_setting
         self.thresholds = EVALUATION_SETTINGS[evaluation_setting]
+        self.compute_2d_metrics = compute_2d_metrics
+        self.pixel_thresholds = list(pixel_thresholds)
+
+    def _metrics_2d(self, datapoint, traj, occluded):
+        """Per-view 2D TAP-Vid metrics: project world predictions into each
+        view and compare in pixel space (reference `evaluator_3dpt.py:575-640`
+        computes 3D and per-view 2D metrics side by side)."""
+        import jax.numpy as jnp
+
+        from mvtracker_tpu.utils import geometry as geo
+
+        v = datapoint.video.shape[0]
+        n = traj.shape[1]
+        out = {}
+        for vi in range(v):
+            pix, z = geo.world_to_pixel_xy_and_camera_z(
+                jnp.asarray(traj),
+                jnp.asarray(datapoint.intrs[vi]),
+                jnp.asarray(datapoint.extrs[vi]),
+            )
+            pred_2d = np.asarray(pix)
+            gt_2d = datapoint.trajectory[vi, :, :, :2]
+            vis_view = datapoint.visibility[vi]
+            if not vis_view.any():
+                continue
+            qt = datapoint.query_points_3d[:, 0:1]
+            first_vis = np.argmax(vis_view, axis=0)
+            q2d = gt_2d[first_vis, np.arange(n)]
+            query_2d = np.concatenate([qt, q2d], axis=1).astype(np.float32)
+            ok = vis_view.sum(axis=0) >= 2
+            if ok.sum() == 0:
+                continue
+            m = metrics_lib.compute_metrics(
+                query_2d[ok][None],
+                ~vis_view[:, ok][None],
+                gt_2d[:, ok][None].astype(np.float32),
+                occluded[:, ok][None],
+                pred_2d[:, ok][None].astype(np.float32),
+                distance_thresholds=self.pixel_thresholds,
+                survival_distance_threshold=50,
+            )
+            out[f"view{vi}_2d"] = {
+                k.replace("_per_track", ""): float(np.nanmean(val)) * 100
+                for k, val in m.items()
+            }
+        return out
 
     def evaluate_sequence(
         self,
@@ -92,6 +143,8 @@ class Evaluator:
                 query_points=datapoint.query_points_3d.astype(np.float32),
                 **self.thresholds,
             )
+            if self.compute_2d_metrics and datapoint.trajectory is not None:
+                results.update(self._metrics_2d(datapoint, traj, occluded))
             results["fps"] = fps
             results["seq_name"] = datapoint.seq_name
             per_seq.append(results)
