@@ -62,7 +62,7 @@ def _corr_kernel(t_ref, f_ref, i_ref, out_ref, *, k: int, ref_tile: int):
     out_ref[0] = acc + jnp.concatenate(updates + [fill], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def corr_select_pallas(
     cloud_fvec: jax.Array,  # [B, P, C]
     targets: jax.Array,  # [B, N, C]
@@ -71,7 +71,18 @@ def corr_select_pallas(
     ref_tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
-    """Correlations <target_n, fvec_{idx[n,k]}> -> [B, N, K] fp32 (unscaled)."""
+    """Correlations <target_n, fvec_{idx[n,k]}> -> [B, N, K] fp32 (unscaled).
+
+    Custom VJP: the forward avoids the random gather entirely (matmul +
+    select, see module docstring); the backward IS naturally a small
+    gather/scatter — d_target = sum_k g * fvec[idx], d_fvec = scatter-add of
+    g * target — and runs as plain XLA.
+    """
+    return _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "interpret"))
+def _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret):
     b, p, c = cloud_fvec.shape
     n = targets.shape[1]
     if k is None:
@@ -101,3 +112,35 @@ def corr_select_pallas(
         interpret=interpret,
     )(targets.astype(jnp.float32), fvec_p, idx_p)
     return out[:, :, :k]
+
+
+def _corr_select_fwd(cloud_fvec, targets, idx, k, ref_tile, interpret):
+    out = _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret)
+    return out, (cloud_fvec, targets, idx)
+
+
+def _corr_select_bwd(k, ref_tile, interpret, residuals, g):
+    cloud_fvec, targets, idx = residuals
+    b, p, c = cloud_fvec.shape
+    n, kk = idx.shape[1], idx.shape[2]
+    g = g.astype(jnp.float32)
+
+    # d_targets[n] = sum_k g[n, k] * fvec[idx[n, k]]
+    flat_idx = idx.reshape(b, n * kk)
+    gathered = jnp.take_along_axis(
+        cloud_fvec.astype(jnp.float32), flat_idx[..., None], axis=1
+    ).reshape(b, n, kk, c)
+    d_targets = jnp.einsum("bnk,bnkc->bnc", g, gathered).astype(targets.dtype)
+
+    # d_fvec[p] = scatter-add over (n, k) with idx == p of g[n,k] * targets[n]
+    updates = (g[..., None] * targets.astype(jnp.float32)[:, :, None, :]).reshape(
+        b, n * kk, c
+    )
+    d_fvec = jax.vmap(
+        lambda acc, ii, up: acc.at[ii].add(up, mode="drop")
+    )(jnp.zeros((b, p, c), jnp.float32), flat_idx, updates).astype(cloud_fvec.dtype)
+
+    return d_fvec, d_targets, None
+
+
+corr_select_pallas.defvjp(_corr_select_fwd, _corr_select_bwd)

@@ -40,3 +40,27 @@ def test_corr_sample_backend_parity(rng):
     offs = corr_ops.gather_neighbors(cloud_xyz, idx) - coords[:, :, None, :]
     out = jnp.concatenate([corr, offs], axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_corr_select_custom_vjp(rng):
+    """Gradients of the fused kernel must match the gather+einsum path."""
+    import jax
+
+    b, p, c, n, k = 1, 260, 16, 12, 4
+    fvec = jnp.asarray(rng.normal(size=(b, p, c)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, p, size=(b, n, k)).astype(np.int32))
+
+    def loss_pallas(f, t):
+        return jnp.sum(
+            corr_select_pallas(f, t, idx, None, 128, True) ** 2
+        )
+
+    def loss_ref(f, t):
+        nf = corr_ops.gather_neighbors(f, idx)
+        return jnp.sum(jnp.einsum("bnc,bnkc->bnk", t, nf) ** 2)
+
+    gf1, gt1 = jax.grad(loss_pallas, argnums=(0, 1))(fvec, targets)
+    gf2, gt2 = jax.grad(loss_ref, argnums=(0, 1))(fvec, targets)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-3)
