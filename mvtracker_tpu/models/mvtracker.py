@@ -46,6 +46,49 @@ from mvtracker_tpu.utils import embeddings as emb
 from mvtracker_tpu.utils import geometry as geo
 
 
+def compute_scene_normalization(depths, extrs, intrs, max_depth: float = 24.0):
+    """VGGT-style scene normalization transform (scale, R, t).
+
+    Mirrors reference `compute_vggt_scene_normalization_transform`
+    (`mvtracker.py:735-766`): unproject the first frame's depth in every
+    view, express in the first camera's frame, scale = 1/mean distance;
+    rotation/translation from the first camera pose. Includes the
+    reference's depth clamp to >= max_depth before computing the scale
+    (`mvtracker.py:466-467`).
+
+    depths [V, T, H, W] (strided ok), extrs [V, T, 3, 4], intrs [V, T, 3, 3].
+    """
+    v = depths.shape[0]
+    d0 = jnp.maximum(depths[:, 0], max_depth)  # reference's clamp
+    world = geo.unproject_depth_to_world(
+        d0,
+        geo.invert_intrinsics(intrs[:, 0]),
+        geo.invert_extrinsics(extrs[:, 0]),
+        stride=1,
+    )  # [V, H, W, 3]
+    pts = world.reshape(-1, 3)
+    e0 = extrs[0, 0]  # [3, 4] world->cam of first camera
+    pts_h = geo.to_homogeneous(pts)
+    in_first = jnp.einsum("ij,nj->ni", e0, pts_h)
+    valid = (depths[:, 0] > 0).reshape(-1)
+    dist = jnp.linalg.norm(in_first, axis=-1)
+    avg = jnp.sum(dist * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    scale = 1.0 / avg
+    rot = e0[:, :3]
+    trans = e0[:, 3] * scale
+    return scale, rot, trans
+
+
+def apply_scene_transform(scale, rot, trans, xyz):
+    """x' = t + R @ (s * x) for [..., 3] points (jnp)."""
+    return jnp.einsum("ij,...j->...i", rot, xyz * scale) + trans
+
+
+def invert_scene_transform(scale, rot, trans, xyz):
+    """Inverse of `apply_scene_transform`."""
+    return jnp.einsum("ji,...j->...i", rot, xyz - trans) / scale
+
+
 def window_starts(num_frames: int, window_len: int) -> list[int]:
     """Static sliding-window start frames; mirrors the reference loop
     condition `while w_idx_start < num_frames - S // 2` with hop S/2
@@ -83,6 +126,7 @@ class MVTracker(nn.Module):
     # level-0 fused cloud features before correlation.
     use_point_transformer: bool = False
     point_transformer_depth: int = 2
+    normalize_scene_in_fwd_pass: bool = False  # VGGT-style (`mvtracker.py:463-481`)
 
     @property
     def updateformer_input_dim(self) -> int:
@@ -299,6 +343,23 @@ class MVTracker(nn.Module):
         query_t = query_points[:, 0].astype(jnp.int32)  # [N]
         query_xyz = query_points[:, 1:]  # [N, 3]
 
+        norm_transform = None
+        if self.normalize_scene_in_fwd_pass:
+            # Reference `mvtracker.py:463-481`: rigidly center the first
+            # camera and rescale the scene before tracking; un-normalize
+            # the outputs at the end.
+            scale, rot, trans = compute_scene_normalization(depths, extrs, intrs)
+            norm_transform = (scale, rot, trans)
+            depths = depths * scale
+            # E' = [R_e @ R^T, (t_e * s - R_e @ R^T @ t)] so that
+            # E' @ T(x) == E @ x with T(x) = t + R (s x).
+            r_new = jnp.einsum("vtij,kj->vtik", extrs[:, :, :, :3], rot)
+            t_new = extrs[:, :, :, 3] * scale - jnp.einsum(
+                "vtij,j->vti", r_new, trans
+            )
+            extrs = jnp.concatenate([r_new, t_new[..., None]], axis=-1)
+            query_xyz = apply_scene_transform(scale, rot, trans, query_xyz)
+
         fmaps = self.compute_fmaps(rgbs)  # [V, T, h, w, C]
         depths_strided = depths[:, :, :: self.stride, :: self.stride]  # [V, T, h, w]
 
@@ -390,6 +451,12 @@ class MVTracker(nn.Module):
         active_t = all_active[w_of_t]  # [T, N]
         traj = jnp.where(active_t[..., None], traj, 0.0)
         vis = jnp.where(active_t, vis, 0.0)
+
+        if norm_transform is not None:
+            # Un-normalize outputs (reference `mvtracker.py:713-716,683-689`).
+            scale, rot, trans = norm_transform
+            traj = invert_scene_transform(scale, rot, trans, traj)
+            all_coords = invert_scene_transform(scale, rot, trans, all_coords)
 
         out = {"traj": traj, "vis": vis, "feat_init": feat_init}
         if is_train:

@@ -247,3 +247,42 @@ def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     if backend == "reference":
         return knn_reference(ref, query, k)
     raise ValueError(f"unknown knn backend: {backend}")
+
+
+# ---------------------------------------------------------------------------
+# Distributed kNN over a device-sharded cloud
+# ---------------------------------------------------------------------------
+
+
+def knn_sharded(
+    ref_local: jax.Array,
+    query: jax.Array,
+    k: int,
+    axis_name: str,
+    backend: str = "auto",
+):
+    """kNN when the reference cloud is sharded across a mesh axis.
+
+    Inside `shard_map` over `axis_name`: each device holds a cloud shard
+    `ref_local` [B, N/D, 3] and the full (replicated) query set. Strategy:
+    per-shard local top-k, then an all-gather of the k*D candidates and a
+    final merge — O(k*D) interconnect traffic per query instead of
+    all-gathering the full cloud (SURVEY §2.6: "all-gather of the fused
+    cloud ... or distributed top-k merge").
+
+    Returns (dists [B, M, k], GLOBAL indices [B, M, k]).
+    """
+    n_local = ref_local.shape[1]
+    shard_idx = jax.lax.axis_index(axis_name)
+
+    d_loc, i_loc = knn(ref_local, query, k, backend=backend)
+    i_glob = i_loc + shard_idx * n_local
+
+    # Gather every shard's candidates: [D, B, M, k] -> merge on each device.
+    d_all = jax.lax.all_gather(d_loc, axis_name)  # [D, B, M, k]
+    i_all = jax.lax.all_gather(i_glob, axis_name)
+    d_cat = jnp.moveaxis(d_all, 0, -2).reshape(*d_loc.shape[:-1], -1)  # [B, M, D*k]
+    i_cat = jnp.moveaxis(i_all, 0, -2).reshape(*i_loc.shape[:-1], -1)
+
+    neg_d, sel = jax.lax.top_k(-d_cat, k)
+    return -neg_d, jnp.take_along_axis(i_cat, sel, axis=-1)

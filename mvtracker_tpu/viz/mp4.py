@@ -141,11 +141,23 @@ def render_multiview_mosaic(
 
 
 def save_video(frames: np.ndarray, path: str, fps: int = 12):
-    """Write [T, H, W, 3] uint8 frames to disk (mp4 via imageio/ffmpeg,
-    falling back to an .npz stack if no encoder is available)."""
+    """Write [T, H, W, 3] uint8 frames to disk.
+
+    Prefers mp4 (needs an ffmpeg backend), falls back to GIF (pillow, always
+    available), then to an .npz frame stack."""
     try:
         import imageio.v3 as iio
 
         iio.imwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        pass
+    try:
+        import imageio.v2 as iio2
+
+        gif_path = path.rsplit(".", 1)[0] + ".gif"
+        iio2.mimsave(gif_path, list(frames), fps=fps)
+        return gif_path
     except Exception:
         np.savez_compressed(path + ".npz", frames=frames)
+        return path + ".npz"

@@ -119,3 +119,45 @@ def test_grad_flows(tiny_model_and_out):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
+
+
+def test_scene_normalization_consistency(rng):
+    """With normalize_scene_in_fwd_pass, the transformed cameras must still
+    project transformed points to the same pixels, and outputs come back in
+    the original world frame (finite + same shapes)."""
+    from mvtracker_tpu.models.mvtracker import (
+        apply_scene_transform,
+        compute_scene_normalization,
+        invert_scene_transform,
+    )
+    from mvtracker_tpu.utils import geometry as geo
+
+    args = make_scene(rng, v=2, t=4, h=32, w=32, n=4)
+    rgbs, depths, query, intrs, extrs = args
+    scale, rot, trans = compute_scene_normalization(depths, extrs, intrs)
+
+    # Projection invariance: E' T(x) == E x.
+    pts = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    r_new = jnp.einsum("vtij,kj->vtik", extrs[:, :, :, :3], rot)
+    t_new = extrs[:, :, :, 3] * scale - jnp.einsum("vtij,j->vti", r_new, trans)
+    extrs_new = jnp.concatenate([r_new, t_new[..., None]], axis=-1)
+    pts_t = apply_scene_transform(scale, rot, trans, pts)
+    cam_old = jnp.einsum("ij,nj->ni", extrs[0, 0], geo.to_homogeneous(pts))
+    cam_new = jnp.einsum("ij,nj->ni", extrs_new[0, 0], geo.to_homogeneous(pts_t))
+    np.testing.assert_allclose(
+        np.asarray(cam_new), np.asarray(cam_old) * float(scale), atol=1e-4
+    )
+
+    # Round trip.
+    back = invert_scene_transform(scale, rot, trans, pts_t)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-5)
+
+    # End-to-end flag run.
+    model = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4, normalize_scene_in_fwd_pass=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, iters=1)
+    out = model.apply(params, *args, iters=1)
+    assert np.isfinite(np.asarray(out["traj"])).all()
