@@ -154,3 +154,23 @@ def test_wrist_camera_tracks_consistency(tmp_path):
     # Constant gripper opening + rigid mount => constant camera-frame coords.
     spread = cam_pts.std(axis=0).max()
     assert spread < 1e-6, spread
+
+
+def test_ffv1_depth_video_roundtrip(tmp_path, rng):
+    """Lossless (to mm) depth video round trip in the reference's on-disk
+    format (`extract_rgb_depth.py:217-312`)."""
+    from mvtracker_tpu.droid.depth_video import read_depth_video, write_depth_video
+
+    depth = rng.uniform(0.2, 5.0, size=(4, 32, 48)).astype(np.float32)
+    path = str(tmp_path / "depth.mkv")
+    write_depth_video(path, depth)
+    back = read_depth_video(path)
+    assert back.shape == depth.shape
+    # Quantized to millimeters; lossless beyond that.
+    np.testing.assert_allclose(back, np.floor(depth * 1000) / 1000, atol=1e-6)  # writer floors to mm (reference astype(uint16))
+    import json
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    assert meta["format"] == "ffv1_depth_z16"
+    assert meta["frame_count"] == 4
