@@ -55,8 +55,45 @@ def main(argv=None):
         mesh = mesh_lib.make_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
         logging.info("mesh: %s", dict(mesh.shape))
 
+    # Periodic eval (reference eval_freq, `cli/train.py:873-875`).
+    def eval_fn(state, step):
+        from mvtracker_tpu.evaluation.evaluator import Evaluator
+        from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+
+        predictor = EvaluationPredictor(
+            model,
+            state.params,
+            interp_shape=tuple(cfg.eval.interp_shape) if cfg.eval.interp_shape else None,
+            grid_size=cfg.eval.grid_size,
+            n_iters=cfg.eval.n_iters,
+        )
+        evaluator = Evaluator(cfg.eval.setting)
+        summary, _ = evaluator.evaluate_sequence(
+            predictor, dataset, max_sequences=cfg.eval.max_sequences or 2
+        )
+        logging.info("eval @ step %d: %s", step, summary.get("all_any", {}))
+        return summary
+
+    static_iter = None
+    if cfg.trainer.static_pretrain_steps > 0 and cfg.data.dataset == "synthetic":
+        from mvtracker_tpu.datasets.loader import SyntheticSceneDataset
+
+        static_ds = SyntheticSceneDataset(
+            n_scenes=32,
+            seed=cfg.data.seed + 1,
+            n_views=cfg.data.n_views,
+            n_frames=cfg.data.n_frames,
+            height=cfg.data.height,
+            width=cfg.data.width,
+            n_tracks=cfg.data.num_tracks,
+            static_fraction=1.0,
+        )
+        static_iter = iter(
+            PrefetchLoader(static_ds, batch_size=cfg.data.batch_size, num_workers=cfg.data.num_workers)
+        )
+
     trainer = Trainer(model, cfg.trainer, mesh=mesh, shard_views=cfg.shard_views)
-    trainer.fit(loader.prefetching_iter())
+    trainer.fit(loader.prefetching_iter(), eval_fn=eval_fn, static_data_iter=static_iter)
 
 
 if __name__ == "__main__":

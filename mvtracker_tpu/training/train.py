@@ -56,6 +56,9 @@ class TrainConfig:
     exp_dir: str = "experiments/default"
     adaptive_iters: bool = True
     keep_ckpts: int = 3
+    # Optional static-pretrain phase (reference `cli/train.py:501-536`):
+    # the first N steps draw from a second, static-scene iterator.
+    static_pretrain_steps: int = 0
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -164,6 +167,7 @@ class Trainer:
         state: Optional[step_lib.TrainState] = None,
         eval_fn: Optional[Callable[[step_lib.TrainState, int], dict]] = None,
         max_steps: Optional[int] = None,
+        static_data_iter: Optional[Iterator[dict]] = None,
     ) -> step_lib.TrainState:
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
@@ -188,7 +192,12 @@ class Trainer:
         try:
             while step < total and not self._stop_requested:
                 t0 = time.perf_counter()
-                batch = next(data_iter)
+                # Static-pretrain phase (reference `cli/train.py:501-536`).
+                use_static = (
+                    static_data_iter is not None
+                    and step < cfg.static_pretrain_steps
+                )
+                batch = next(static_data_iter if use_static else data_iter)
                 if self.mesh is not None:
                     batch = mesh_lib.shard_batch_pytree(batch, self.mesh)
                 t1 = time.perf_counter()
