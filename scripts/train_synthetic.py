@@ -1,0 +1,94 @@
+"""Generalization training: train on N synthetic scenes, evaluate on
+held-out scenes vs CopyCat. A stronger learning check than pure overfit.
+
+    python scripts/train_synthetic.py --steps 8000
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=8000)
+    parser.add_argument("--train_scenes", type=int, default=16)
+    parser.add_argument("--eval_scenes", type=int, default=4)
+    parser.add_argument("--exp_dir", default="/tmp/train_synth")
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--out_json", default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import numpy as np
+
+    from mvtracker_tpu.datasets.loader import PrefetchLoader, SyntheticSceneDataset
+    from mvtracker_tpu.evaluation.evaluator import Evaluator
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+    from mvtracker_tpu.models.mvtracker import MVTracker
+    from mvtracker_tpu.training.train import TrainConfig, Trainer
+    from tests.test_eval_pipeline import CopyCatPredictor
+
+    model = MVTracker(
+        sliding_window_len=8,
+        fmaps_dim=64,
+        num_heads=6,
+        hidden_size=192,
+        space_depth=3,
+        time_depth=3,
+        num_virtual_tracks=16,
+        corr_n_levels=3,
+        corr_neighbors=8,
+    )
+    kw = dict(n_views=2, n_frames=12, height=64, width=64, n_tracks=32)
+    train_ds = SyntheticSceneDataset(n_scenes=args.train_scenes, cache=True, seed=0, **kw)
+    eval_ds = SyntheticSceneDataset(n_scenes=args.eval_scenes, cache=True, seed=777, **kw)
+    loader = PrefetchLoader(train_ds, batch_size=1, num_workers=2, shuffle=True)
+
+    cfg = TrainConfig(
+        total_steps=args.steps,
+        lr=args.lr,
+        schedule="cos",
+        warmup_steps=100,
+        adaptive_iters=True,
+        train_iters=3,
+        save_ckpt_freq=max(args.steps // 2, 500),
+        eval_freq=10**9,
+        telemetry_freq=200,
+        exp_dir=args.exp_dir,
+    )
+    trainer = Trainer(model, cfg)
+    state = trainer.fit(loader.prefetching_iter(), max_steps=args.steps)
+
+    predictor = EvaluationPredictor(model, state.params, interp_shape=None, grid_size=0, n_iters=3)
+    evaluator = Evaluator("kubric-multiview")
+    scenes = [eval_ds[i] for i in range(args.eval_scenes)]
+
+    ours, _ = evaluator.evaluate_sequence(predictor, scenes)
+    copycat, _ = evaluator.evaluate_sequence(CopyCatPredictor(), scenes)
+
+    report = {
+        "steps": args.steps,
+        "ours": ours.get("all_any", {}),
+        "copycat": copycat.get("all_any", {}),
+    }
+    print(json.dumps({k: report[k] if k == "steps" else {
+        m: round(v, 2) for m, v in report[k].items() if isinstance(v, float)
+    } for k in report}, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()
