@@ -94,3 +94,32 @@ def test_csv_json_outputs(tiny_dataset, tmp_path):
     ev.save_csv(per_seq, str(tmp_path / "per_seq.csv"))
     assert (tmp_path / "summary.json").exists()
     assert (tmp_path / "per_seq.csv").read_text().count("\n") >= 3
+
+
+def test_single_point_mode(tiny_dataset):
+    """Single-point eval mode (reference `evaluation_predictor_3dpt.py:191-339`)
+    must produce one trajectory per query via per-query local grids."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    model = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    sc = tiny_dataset[0]
+    args = (
+        jnp.asarray(sc.video), jnp.asarray(sc.videodepth),
+        jnp.asarray(sc.query_points_3d[:3]), jnp.asarray(sc.intrs), jnp.asarray(sc.extrs),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, iters=1)
+    predictor = EvaluationPredictor(
+        model, params, interp_shape=None, grid_size=0, n_iters=1,
+        single_point=True, local_grid_size=2, local_extent=10,
+    )
+    out = predictor(*args)
+    assert out["traj"].shape == (sc.video.shape[1], 3, 3)
+    assert np.isfinite(np.asarray(out["traj"])).all()
