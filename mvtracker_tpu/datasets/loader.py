@@ -45,6 +45,7 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self.cursor = 0
+        self._executor = None
 
     # -- statefulness --------------------------------------------------
     def state_dict(self) -> dict:
@@ -79,10 +80,11 @@ class PrefetchLoader:
         if self.num_workers <= 1 or len(idxs) == 1:
             dps = [self.dataset[int(i)] for i in idxs]
         else:
-            from concurrent.futures import ThreadPoolExecutor
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                dps = list(ex.map(lambda i: self.dataset[int(i)], idxs))
+                self._executor = ThreadPoolExecutor(max_workers=self.num_workers)
+            dps = list(self._executor.map(lambda i: self.dataset[int(i)], idxs))
         return collate(dps)
 
     def prefetching_iter(self) -> Iterator[dict]:

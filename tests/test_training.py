@@ -113,3 +113,31 @@ def test_loader_statefulness():
     loader2.load_state_dict(state)
     b_actual = next(iter(loader2))
     np.testing.assert_allclose(b_actual["rgbs"], b_expected["rgbs"])
+
+
+def test_crash_forensics(tmp_path):
+    """On a training exception, the offending batch is dumped to disk
+    (reference `cli/train.py:741-766`)."""
+    cfg = TrainConfig(
+        total_steps=5, warmup_steps=0, adaptive_iters=False, train_iters=1,
+        save_ckpt_freq=1000, telemetry_freq=100,
+        exp_dir=str(tmp_path / "exp"), schedule="const",
+    )
+    trainer = Trainer(tiny_model(), cfg)
+
+    class Boom(Exception):
+        pass
+
+    def bad_step_factory(iters):
+        def stepper(state, batch):
+            raise Boom("injected failure")
+        return stepper
+
+    trainer._get_step_fn = bad_step_factory
+    with pytest.raises(Boom):
+        trainer.fit(iter(tiny_loader()), max_steps=5)
+    crash_dir = tmp_path / "exp" / "crash"
+    dumps = list(crash_dir.glob("batch_step*.npz"))
+    assert dumps, "crash batch dump missing"
+    data = np.load(dumps[0])
+    assert "rgbs" in data
