@@ -127,6 +127,12 @@ class MVTracker(nn.Module):
     use_point_transformer: bool = False
     point_transformer_depth: int = 2
     normalize_scene_in_fwd_pass: bool = False  # VGGT-style (`mvtracker.py:463-481`)
+    # Rematerialize encoder/transformer activations in the backward pass
+    # (jax.checkpoint): trades ~30% extra FLOPs for a large activation-memory
+    # reduction — the TPU answer to the reference's rolling-cache memory
+    # management (`mvtracker.py:546-574`). Enable for long videos / large
+    # batch training.
+    remat: bool = False
 
     @property
     def updateformer_input_dim(self) -> int:
@@ -147,8 +153,10 @@ class MVTracker(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
-        self.fnet = BasicEncoder(output_dim=self.fmaps_dim, stride=self.stride, dtype=dtype)
-        self.updateformer = EfficientUpdateFormer(
+        enc_cls = nn.remat(BasicEncoder) if self.remat else BasicEncoder
+        uf_cls = nn.remat(EfficientUpdateFormer) if self.remat else EfficientUpdateFormer
+        self.fnet = enc_cls(output_dim=self.fmaps_dim, stride=self.stride, dtype=dtype)
+        self.updateformer = uf_cls(
             space_depth=self.space_depth,
             time_depth=self.time_depth,
             input_dim=self.updateformer_input_dim,

@@ -161,3 +161,26 @@ def test_scene_normalization_consistency(rng):
     params = model.init(jax.random.PRNGKey(0), *args, iters=1)
     out = model.apply(params, *args, iters=1)
     assert np.isfinite(np.asarray(out["traj"])).all()
+
+
+def test_remat_grad(rng):
+    """remat=True must produce the same loss and finite grads."""
+    args = make_scene(rng, v=2, t=4, h=32, w=32, n=4)
+    kw = dict(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    m1 = MVTracker(**kw)
+    m2 = MVTracker(remat=True, **kw)
+    params = m1.init(jax.random.PRNGKey(0), *args, iters=1)
+
+    def loss(m, p):
+        o = m.apply(p, *args, iters=1, is_train=True)
+        return jnp.mean(jnp.abs(o["train_data"]["coord_predictions"]))
+
+    l1 = float(loss(m1, params))
+    l2 = float(loss(m2, params))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    g = jax.grad(lambda p: loss(m2, p))(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
