@@ -189,6 +189,7 @@ class KubricMultiViewDataset:
         max_frames: Optional[int] = None,
         sanity_check_projection: bool = False,
         depth_noise_cm: float = 0.0,
+        dynamic_ratio: float | None = None,
     ):
         self.root = root
         self.scenes = sorted(
@@ -200,6 +201,7 @@ class KubricMultiViewDataset:
         self.max_frames = max_frames
         self.sanity_check_projection = sanity_check_projection
         self.depth_noise_cm = depth_noise_cm
+        self.dynamic_ratio = dynamic_ratio
 
     @staticmethod
     def from_name(dataset_name: str, dataset_root: str) -> "KubricMultiViewDataset":
@@ -263,10 +265,29 @@ class KubricMultiViewDataset:
         visibility = ~occ  # [V, T, N]
         vis_any = visibility.any(axis=0)
 
-        # Sample tracks that are visible somewhere.
+        # Sample tracks that are visible somewhere, biased toward dynamic
+        # tracks (reference samples by dynamic/very-dynamic ratios,
+        # `kubric_multiview_dataset.py:470-1113`).
         candidates = np.where(vis_any.any(axis=0))[0]
-        n_sample = min(self.num_tracks, len(candidates))
-        chosen = rng.choice(candidates, size=n_sample, replace=False)
+        if self.dynamic_ratio is not None and len(candidates) > 0:
+            movement = np.linalg.norm(
+                np.diff(tracks_3d[:, candidates], axis=0), axis=-1
+            ).sum(axis=0)
+            dynamic = candidates[movement > 0.1]
+            static = candidates[movement <= 0.1]
+            n_dyn = min(int(round(self.num_tracks * self.dynamic_ratio)), len(dynamic))
+            n_stat = min(self.num_tracks - n_dyn, len(static))
+            n_dyn = min(self.num_tracks - n_stat, len(dynamic))  # backfill
+            chosen = np.concatenate(
+                [
+                    rng.choice(dynamic, size=n_dyn, replace=False) if n_dyn else [],
+                    rng.choice(static, size=n_stat, replace=False) if n_stat else [],
+                ]
+            ).astype(np.int64)
+            n_sample = len(chosen)
+        else:
+            n_sample = min(self.num_tracks, len(candidates))
+            chosen = rng.choice(candidates, size=n_sample, replace=False)
 
         tracks_3d = tracks_3d[:, chosen]
         visibility = visibility[:, :, chosen]
