@@ -10,7 +10,6 @@ equivalent: typed dataclasses, YAML files for named presets, and
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Optional
 
 import yaml

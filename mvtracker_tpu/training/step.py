@@ -15,7 +15,6 @@ Replaces the reference's Lightning-Fabric DDP loop body
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
