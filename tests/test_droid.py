@@ -174,3 +174,27 @@ def test_ffv1_depth_video_roundtrip(tmp_path, rng):
         meta = json.load(f)
     assert meta["format"] == "ffv1_depth_z16"
     assert meta["frame_count"] == 4
+
+
+def test_quality_ordering_interleaves_labs():
+    """Best episode of each lab first, then second best, etc. (reference
+    `get_episodes_by_quality.py:66-108`)."""
+    from mvtracker_tpu.droid.quality import episode_quality, order_episodes_by_quality
+
+    t6 = [0.0] * 6
+    cam2base = {
+        "LABA+s1+2023-01-01-01h-01m-01s": {"100": t6, "101": t6},       # score 22
+        "LABA+s1+2023-01-01-02h-02m-02s": {"100": t6},                   # score 11
+        "LABB+s2+2023-01-02-01h-01m-01s": {"100": t6, "101": t6, "102": t6},  # 33
+        "LABB+s2+2023-01-02-02h-02m-02s": {"100": [0.0] * 3},            # 10 (invalid tf)
+        "not-an-episode": {"100": t6},
+    }
+    order = order_episodes_by_quality(cam2base)
+    assert order == [
+        "LABA+s1+2023-01-01-01h-01m-01s",
+        "LABB+s2+2023-01-02-01h-01m-01s",
+        "LABA+s1+2023-01-01-02h-02m-02s",
+        "LABB+s2+2023-01-02-02h-02m-02s",
+    ]
+    assert episode_quality({"100": t6}) == 11.0
+    assert order_episodes_by_quality(cam2base, limit=2) == order[:2]
