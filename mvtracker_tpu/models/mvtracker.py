@@ -269,15 +269,15 @@ class MVTracker(nn.Module):
         times = jnp.arange(s, dtype=jnp.float32) / s
         times_embed = emb.sincos_1d(t_dim, times)[:, :d_in]  # [S, d_in]
 
-        coords = coords_init
-        ffeats = jnp.broadcast_to(feat_init[None], (s, n, c))
+        coords0 = coords_init
+        ffeats0 = jnp.broadcast_to(feat_init[None], (s, n, c))
         mask_and_vis = jnp.stack([track_mask, vis_init], axis=-1)  # [S, N, 2]
 
-        coord_predictions = []
-        for _ in range(iters):
+        def refine_step(mdl, carry, _):
+            coords, ffeats = carry
             coords = jax.lax.stop_gradient(coords)
 
-            fcorrs = self._corr_features(context_w, coords, ffeats)  # [S, N, LRR]
+            fcorrs = mdl._corr_features(context_w, coords, ffeats)  # [S, N, LRR]
 
             flows = coords - coords[0:1]  # [S, N, 3]
             flows_emb = emb.coord_embedding_3d(flows, self.flow_embed_dim)  # [S,N,195]
@@ -286,18 +286,30 @@ class MVTracker(nn.Module):
             x = x + pos_embed[None] + times_embed[:, None]
             x = x.transpose(1, 0, 2)[None]  # [1, N, S, D]
 
-            delta = self.updateformer(x, track_mask=active[None])[0]  # [N, S, 3+C]
+            delta = mdl.updateformer(x, track_mask=active[None])[0]  # [N, S, 3+C]
             delta = delta.transpose(1, 0, 2)  # [S, N, 3+C]
 
             d_coord = delta[..., :3]
             # Reference order (`mvtracker.py:179,394-396`): GroupNorm(1,C)
             # -> Linear -> GELU.
             d_feats = nn.gelu(
-                self.ffeats_updater(self.ffeats_norm(delta[..., 3:])), approximate=False
+                mdl.ffeats_updater(mdl.ffeats_norm(delta[..., 3:])), approximate=False
             )
             coords = coords + d_coord
             ffeats = ffeats + d_feats
-            coord_predictions.append(coords)
+            return (coords, ffeats), coords
+
+        # Scan over refinement iterations: graph size independent of `iters`
+        # (the reference unrolls, `mvtracker.py:350-406`; numerics identical).
+        scanned = nn.scan(
+            refine_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+            out_axes=0,
+        )
+        (coords, ffeats), coords_stack = scanned(self, (coords0, ffeats0), None)
+        coord_predictions = [coords_stack[i] for i in range(iters)]
 
         vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
         return coord_predictions, vis_logits
