@@ -59,6 +59,7 @@ class TrainConfig:
     # Optional static-pretrain phase (reference `cli/train.py:501-536`):
     # the first N steps draw from a second, static-scene iterator.
     static_pretrain_steps: int = 0
+    tensorboard: bool = True  # per-step scalars to <exp_dir>/tb (reference `train.py:622`)
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -98,6 +99,17 @@ class Trainer:
         self._steps = {}  # iters -> jitted train step
         self._stop_requested = False
         self._ckpt_mgr = None
+        self._tb = None
+
+    def _tb_writer(self):
+        if self._tb is None and self.cfg.tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.cfg.exp_dir, "tb"))
+            except Exception:  # pragma: no cover
+                self.cfg.tensorboard = False
+        return self._tb
 
     # -- checkpointing -------------------------------------------------
     def _ckpt_manager(self):
@@ -214,6 +226,13 @@ class Trainer:
 
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
+
+                tb = self._tb_writer()
+                if tb is not None:
+                    tb.add_scalar("train/loss", loss, step)
+                    for k in ("xyz_loss", "vis_loss", "grad_norm"):
+                        if k in metrics:
+                            tb.add_scalar(f"train/{k}", float(metrics[k]), step)
 
                 if step % cfg.telemetry_freq == 0:
                     dt, st = np.asarray(data_times), np.asarray(step_times)
