@@ -190,6 +190,7 @@ class KubricMultiViewDataset:
         sanity_check_projection: bool = False,
         depth_noise_cm: float = 0.0,
         dynamic_ratio: float | None = None,
+        view_sample_count: int | None = None,
     ):
         self.root = root
         self.scenes = sorted(
@@ -202,6 +203,7 @@ class KubricMultiViewDataset:
         self.sanity_check_projection = sanity_check_projection
         self.depth_noise_cm = depth_noise_cm
         self.dynamic_ratio = dynamic_ratio
+        self.view_sample_count = view_sample_count
 
     @staticmethod
     def from_name(dataset_name: str, dataset_root: str) -> "KubricMultiViewDataset":
@@ -242,12 +244,22 @@ class KubricMultiViewDataset:
         occ = raw["occlusion"]
 
         if self.view_subset is not None:
-            video = video[self.view_subset]
-            depth = depth[self.view_subset]
-            intrs = intrs[self.view_subset]
-            extrs = extrs[self.view_subset]
-            occ = occ[self.view_subset]
-            raw["tracks_2d"] = raw["tracks_2d"][self.view_subset]
+            view_sel = list(self.view_subset)
+        elif self.view_sample_count is not None:
+            # Variable-view augmentation: random view subset per sample
+            # (reference `kubric_multiview_dataset.py:514-545`).
+            view_sel = sorted(
+                rng.choice(video.shape[0], size=min(self.view_sample_count, video.shape[0]), replace=False)
+            )
+        else:
+            view_sel = None
+        if view_sel is not None:
+            video = video[view_sel]
+            depth = depth[view_sel]
+            intrs = intrs[view_sel]
+            extrs = extrs[view_sel]
+            occ = occ[view_sel]
+            raw["tracks_2d"] = raw["tracks_2d"][view_sel]
 
         t = video.shape[1]
         if self.max_frames is not None and t > self.max_frames:
