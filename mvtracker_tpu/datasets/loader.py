@@ -126,10 +126,14 @@ class SyntheticSceneDataset:
         n_scenes: int = 64,
         seed: int = 0,
         cache: bool = False,
+        randomize: bool = False,
+        augment: bool = False,
         **render_kwargs,
     ):
         self.n_scenes = n_scenes
         self.seed = seed
+        self.randomize = randomize
+        self.augment = augment
         self.render_kwargs = render_kwargs
         self._cache: dict[int, Datapoint] = {} if cache else None
 
@@ -138,10 +142,24 @@ class SyntheticSceneDataset:
 
     def __getitem__(self, idx: int) -> Datapoint:
         if self._cache is not None and idx in self._cache:
-            return self._cache[idx]
-        from mvtracker_tpu.datasets.synthetic import render_scene
+            dp = self._cache[idx]
+        else:
+            from mvtracker_tpu.datasets.synthetic import render_scene
 
-        dp = render_scene(seed=self.seed * 100_003 + idx, **self.render_kwargs)
-        if self._cache is not None:
-            self._cache[idx] = dp
+            scene_seed = self.seed * 100_003 + idx
+            kwargs = dict(self.render_kwargs)
+            if self.randomize:
+                srng = np.random.default_rng(scene_seed + 17)
+                kwargs.setdefault("n_objects", int(srng.integers(3, 9)))
+                kwargs.setdefault("static_fraction", float(srng.uniform(0.0, 0.5)))
+                kwargs.setdefault("cam_radius", float(srng.uniform(3.0, 5.0)))
+            dp = render_scene(seed=scene_seed, **kwargs)
+            if self._cache is not None:
+                self._cache[idx] = dp
+        if self.augment:
+            from mvtracker_tpu.datasets.augmentations import default_train_augmentations
+
+            # Fresh aug RNG each epoch-touch (non-deterministic across epochs,
+            # like the reference's unseeded train-time augs).
+            dp = default_train_augmentations(dp, np.random.default_rng())
         return dp

@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--exp_dir", default="/tmp/train_synth")
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--out_json", default=None)
+    parser.add_argument("--augment", action="store_true")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -51,8 +52,13 @@ def main():
         corr_neighbors=8,
     )
     kw = dict(n_views=2, n_frames=12, height=64, width=64, n_tracks=32)
-    train_ds = SyntheticSceneDataset(n_scenes=args.train_scenes, cache=True, seed=0, **kw)
-    eval_ds = SyntheticSceneDataset(n_scenes=args.eval_scenes, cache=True, seed=777, **kw)
+    train_ds = SyntheticSceneDataset(
+        n_scenes=args.train_scenes, cache=True, seed=0, randomize=True,
+        augment=args.augment, **kw
+    )
+    eval_ds = SyntheticSceneDataset(
+        n_scenes=args.eval_scenes, cache=True, seed=777, randomize=True, **kw
+    )
     loader = PrefetchLoader(train_ds, batch_size=1, num_workers=2, shuffle=True)
 
     cfg = TrainConfig(
