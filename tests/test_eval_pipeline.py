@@ -123,3 +123,47 @@ def test_single_point_mode(tiny_dataset):
     out = predictor(*args)
     assert out["traj"].shape == (sc.video.shape[1], 3, 3)
     assert np.isfinite(np.asarray(out["traj"])).all()
+
+
+def test_predictor_resize_path(tiny_dataset):
+    """interp_shape resize + intrinsics rescale must keep support-grid
+    unprojection consistent (reference `evaluation_predictor_3dpt.py:71-87`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    model = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    sc = tiny_dataset[0]
+    # init at the resized shape (48, 64)
+    import numpy as np
+
+    from mvtracker_tpu.evaluation.predictor import nearest_resize
+
+    rgbs_r = nearest_resize(
+        jnp.asarray(sc.video).transpose(0, 1, 4, 2, 3), 48, 64
+    ).transpose(0, 1, 3, 4, 2)
+    depths_r = nearest_resize(jnp.asarray(sc.videodepth), 48, 64)
+    scale = jnp.asarray([[64 / 32, 0, 0], [0, 48 / 32, 0], [0, 0, 1]], jnp.float32)
+    intrs_r = jnp.einsum("ij,VTjk->VTik", scale, jnp.asarray(sc.intrs))
+    n_q = sc.query_points_3d.shape[0]
+    n_support = 2 * 2 * 2  # grid 2x2 per view x 2 views
+    queries_total = jnp.zeros((n_q + n_support, 4))
+    params = model.init(
+        jax.random.PRNGKey(0), rgbs_r, depths_r, queries_total,
+        intrs_r, jnp.asarray(sc.extrs), iters=1,
+    )
+    predictor = EvaluationPredictor(
+        model, params, interp_shape=(48, 64), grid_size=2, n_iters=1
+    )
+    out = predictor(
+        jnp.asarray(sc.video), jnp.asarray(sc.videodepth),
+        jnp.asarray(sc.query_points_3d), jnp.asarray(sc.intrs), jnp.asarray(sc.extrs),
+    )
+    assert out["traj"].shape == (sc.video.shape[1], n_q, 3)
+    assert np.isfinite(np.asarray(out["traj"])).all()
