@@ -25,9 +25,14 @@ import numpy as np
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """InstanceNorm over spatial dims of NHWC, no affine params."""
+    """InstanceNorm over spatial dims of NHWC, no affine params.
+
+    Variance is clamped at 0: XLA may rewrite var into E[x^2]-E[x]^2, whose
+    catastrophic cancellation can go slightly negative on near-constant
+    channels -> rsqrt(negative) = NaN (observed in training).
+    """
     mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
+    var = jnp.maximum(x.var(axis=(1, 2), keepdims=True), 0.0)
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 

@@ -170,7 +170,7 @@ class MVTracker(nn.Module):
         )
         # Feature update head (reference `mvtracker.py:178-180`): GroupNorm(1,C)
         # == LayerNorm with affine at eps 1e-5, then Linear+GELU.
-        self.ffeats_norm = nn.LayerNorm(epsilon=1e-5)
+        self.ffeats_norm = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False)
         self.ffeats_updater = nn.Dense(self.fmaps_dim)
         self.vis_predictor = nn.Dense(1)
         if self.use_point_transformer:

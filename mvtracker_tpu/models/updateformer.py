@@ -33,7 +33,8 @@ _TRUNC001 = nn.initializers.truncated_normal(stddev=0.001)
 
 def _layer_norm_noaffine(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     mean = x.mean(axis=-1, keepdims=True)
-    var = x.var(axis=-1, keepdims=True)
+    # max(var, 0): XLA's E[x^2]-E[x]^2 rewrite can cancel slightly negative.
+    var = jnp.maximum(x.var(axis=-1, keepdims=True), 0.0)
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
@@ -124,7 +125,7 @@ class CrossAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, key_mask=None):
-        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
+        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, use_fast_variance=False, name="norm_context")(context)
         x = x + Attention(
             self.hidden_size, num_heads=self.num_heads, dtype=self.dtype, name="cross_attn"
         )(_layer_norm_noaffine(x).astype(x.dtype), context=ctx, key_mask=key_mask)

@@ -62,11 +62,19 @@ def _sq_dists(query: jax.Array, ref: jax.Array) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
+def _safe_sqrt(d2):
+    """sqrt with an epsilon floor: d/dx sqrt(x) -> inf at 0, and exact zeros
+    are common (clamped cancellation, query==cloud point). The floor routes
+    the gradient through the max (zero) instead of producing inf*0 = NaN in
+    backward passes."""
+    return jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+
 def knn_reference(ref: jax.Array, query: jax.Array, k: int):
     """Plain full-matrix kNN; ground truth for tests. [B,N,3],[B,M,3] -> [B,M,k]."""
     d2 = _sq_dists(query, ref)
     neg_d2, idx = jax.lax.top_k(-d2, k)
-    return jnp.sqrt(-neg_d2), idx
+    return _safe_sqrt(-neg_d2), idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
@@ -226,7 +234,7 @@ def knn_pallas(
         interpret=interpret,
     )(q_t, r_t)
 
-    return jnp.sqrt(dist[:, :m, :k]), idx[:, :m, :k]
+    return _safe_sqrt(dist[:, :m, :k]), idx[:, :m, :k]
 
 
 def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):

@@ -31,6 +31,23 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def zero_nonfinite() -> optax.GradientTransformation:
+    """Zero every non-finite (NaN or inf) gradient entry."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float = 5e-4,
     weight_decay: float = 1e-5,
@@ -40,6 +57,13 @@ def make_optimizer(
     schedule: str = "cos",
 ) -> optax.GradientTransformation:
     """AdamW + OneCycle, mirroring reference `cli/train.py:55-75`."""
+    # Degenerate-schedule guard: optax's onecycle places a boundary at
+    # int(pct_start * total_steps); if that truncates to 0 the first
+    # interpolation segment has zero width -> NaN learning rate -> NaN
+    # params (observed with tiny smoke-test step counts). Keep the warmup
+    # at least one step wide.
+    total_steps = max(int(total_steps), 2)
+    pct_start = max(pct_start, 1.0 / total_steps)
     if schedule == "cos":
         sched = optax.cosine_onecycle_schedule(
             transition_steps=total_steps, peak_value=lr, pct_start=pct_start
@@ -53,6 +77,12 @@ def make_optimizer(
     else:
         raise ValueError(schedule)
     return optax.chain(
+        # Non-finite guard first: a single inf/NaN gradient leaf would
+        # otherwise poison the global norm and with it EVERY parameter
+        # (observed: jit-sensitive backward inf). optax.zero_nans misses
+        # infs, so zero anything non-finite. The reference's equivalent is
+        # its runtime NaN drop-in (`mvtracker.py:401-404`).
+        zero_nonfinite(),
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, weight_decay=weight_decay),
     )

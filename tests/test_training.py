@@ -141,3 +141,22 @@ def test_crash_forensics(tmp_path):
     assert dumps, "crash batch dump missing"
     data = np.load(dumps[0])
     assert "rgbs" in data
+
+
+def test_optimizer_tiny_schedule_no_nan():
+    """Regression: onecycle with tiny total_steps used to yield a zero-width
+    warmup segment -> NaN learning rate -> NaN params."""
+    import jax.numpy as jnp
+    import optax
+
+    from mvtracker_tpu.training import step as step_lib
+
+    for total in (2, 5, 12):
+        opt = step_lib.make_optimizer(total_steps=total, schedule="cos")
+        p = {"w": jnp.ones(4)}
+        st = opt.init(p)
+        g = {"w": jnp.full(4, 0.1)}
+        for _ in range(3):
+            u, st = opt.update(g, st, p)
+            assert np.isfinite(np.asarray(u["w"])).all()
+            p = optax.apply_updates(p, u)
