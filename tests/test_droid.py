@@ -198,3 +198,62 @@ def test_quality_ordering_interleaves_labs():
     ]
     assert episode_quality({"100": t6}) == 11.0
     assert order_episodes_by_quality(cam2base, limit=2) == order[:2]
+
+
+def test_hub_local_store_roundtrip(tmp_path):
+    from mvtracker_tpu.droid.hub import LocalStore, download_episode, episode_available
+
+    store = LocalStore(str(tmp_path / "store"))
+    ep = tmp_path / "ep0"
+    ep.mkdir()
+    (ep / "tracks.npz").write_bytes(b"data")
+    assert not episode_available(store, "ep0")
+    store.upload_dir(str(ep), "ep0")
+    assert episode_available(store, "ep0")
+    assert episode_available(store, "ep0", skip_check=True) is False
+    out = download_episode(store, "ep0", str(tmp_path / "dl"))
+    assert os.path.exists(os.path.join(out, "tracks.npz"))
+    assert store.list_keys() == ["ep0"]
+
+
+def test_batch_uploader(tmp_path):
+    from mvtracker_tpu.droid.hub import BatchUploader, LocalStore
+
+    store = LocalStore(str(tmp_path / "store"))
+    up = BatchUploader(store, str(tmp_path / "staging"), batch_size=2, interval_s=9999)
+    for i in range(3):
+        ep = tmp_path / f"ep{i}"
+        ep.mkdir()
+        (ep / "quality.json").write_text("{}")
+        up.stage(str(ep), f"ep{i}")
+    # batch_size=2: first two flushed automatically, third pending.
+    assert up.status()["uploaded"] == 2
+    assert up.status()["pending"] == 1
+    up.flush()
+    assert up.status()["uploaded"] == 3
+    assert sorted(store.list_keys()) == ["ep0", "ep1", "ep2"]
+
+
+def test_batch_uploader_failure_isolation(tmp_path):
+    from mvtracker_tpu.droid.hub import ArtifactStore, BatchUploader
+
+    class FlakyStore(ArtifactStore):
+        def __init__(self):
+            self.ok = []
+
+        def upload_dir(self, local_dir, key):
+            if key == "bad":
+                raise RuntimeError("boom")
+            self.ok.append(key)
+
+    store = FlakyStore()
+    up = BatchUploader(store, str(tmp_path / "staging"), batch_size=100)
+    for key in ("good1", "bad", "good2"):
+        ep = tmp_path / key
+        ep.mkdir()
+        (ep / "x").write_text("x")
+        up.stage(str(ep), key)
+    up.flush()
+    s = up.status()
+    assert s["uploaded"] == 2 and s["failed"] == 1
+    assert (tmp_path / "staging" / "failed_uploads.txt").read_text().strip() == "bad"
