@@ -50,6 +50,19 @@ def _sphere_trajectories(rng, n_obj, t):
     )
 
 
+def _rotations_about_axis(axis: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    """Rodrigues rotations [T, 3, 3] about a unit axis for angles [T]."""
+    kx = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    k2 = kx @ kx
+    return (
+        np.eye(3)[None]
+        + np.sin(angles)[:, None, None] * kx[None]
+        + (1 - np.cos(angles))[:, None, None] * k2[None]
+    )
+
+
 def render_scene(
     seed: int = 0,
     n_views: int = 4,
@@ -61,8 +74,16 @@ def render_scene(
     static_fraction: float = 0.25,
     cam_radius: float = 4.0,
     focal_factor: float = 1.0,
+    rotate_objects: bool = True,
 ) -> Datapoint:
-    """Render a synthetic scene; returns a fully populated Datapoint."""
+    """Render a synthetic scene; returns a fully populated Datapoint.
+
+    Objects translate along smooth trajectories AND spin about random axes
+    (`rotate_objects`); the procedural texture is painted in each object's
+    LOCAL frame so its appearance rotates with the surface — surface tracks
+    stay photo-consistent, and rotation makes motion patterns that cannot
+    be memorized from query position alone.
+    """
     rng = np.random.default_rng(seed)
     v, t, h, w = n_views, n_frames, height, width
 
@@ -73,6 +94,19 @@ def render_scene(
         centers[:n_static] = centers[:n_static, :1]  # freeze static objects
     radii = rng.uniform(0.25, 0.55, size=n_objects)
     colors = rng.uniform(0.2, 1.0, size=(n_objects, 3))
+
+    # Per-object spin: axis + angular velocity; static objects do not spin.
+    rotations = np.tile(np.eye(3), (n_objects, t, 1, 1))
+    if rotate_objects:
+        for oi in range(n_static, n_objects):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            omega = rng.uniform(-2.5, 2.5)
+            angles = omega * np.linspace(0, 1, t)
+            rotations[oi] = _rotations_about_axis(axis, angles)
+    # Per-object texture frequencies/phases (multi-band, in local coords).
+    tex_freq = rng.uniform(6.0, 16.0, size=(n_objects, 3))
+    tex_phase = rng.uniform(0, 2 * np.pi, size=(n_objects, 3))
 
     # Cameras on a circle, slight height variation, looking at the origin.
     intrs = np.zeros((v, t, 3, 3), np.float32)
@@ -139,10 +173,17 @@ def render_scene(
                 p = cam_origin[None, None] + t0[..., None] * dn
                 cam_z_s = t0 * cos_fwd
                 sel = hit & (cam_z_s < zbuf)
-                # Simple lambertian shading + procedural stripes for texture.
+                # Lambertian shading + multi-band texture in LOCAL coords so
+                # the pattern rides the rotating surface.
                 normal = (p - centers[oi, ti]) / radii[oi]
                 light = np.clip(normal @ np.array([0.5, 0.5, 0.7071]), 0.2, 1.0)
-                stripes = 0.75 + 0.25 * np.sin(12 * p[..., 0]) * np.sin(12 * p[..., 2])
+                local = np.einsum(
+                    "ji,hwj->hwi", rotations[oi, ti], p - centers[oi, ti]
+                )
+                f, ph = tex_freq[oi], tex_phase[oi]
+                stripes = 0.6 + 0.2 * np.sin(f[0] * local[..., 0] + ph[0]) * np.sin(
+                    f[1] * local[..., 2] + ph[1]
+                ) + 0.2 * np.sin(f[2] * (local[..., 1] + local[..., 0]) + ph[2])
                 col = colors[oi][None, None] * (light * stripes)[..., None]
                 zbuf[sel] = cam_z_s[sel]
                 rgb[sel] = col[sel]
@@ -152,12 +193,15 @@ def render_scene(
             video[vi, ti] = np.clip(rgb, 0, 1) * 255
             seg[vi, ti] = sg
 
-    # Ground-truth tracks: points on sphere surfaces (translation-rigid).
+    # Ground-truth tracks: points on sphere surfaces, rigid with the
+    # object's rotation+translation.
     obj_of_track = rng.integers(0, n_objects, size=n_tracks)
     u = rng.normal(size=(n_tracks, 3))
     u /= np.linalg.norm(u, axis=-1, keepdims=True)
-    offsets = u * radii[obj_of_track][:, None] * 0.999
-    traj3d = centers[obj_of_track] + offsets[:, None, :]  # [N, T, 3]
+    offsets = u * radii[obj_of_track][:, None] * 0.999  # local-frame offsets
+    traj3d = centers[obj_of_track] + np.einsum(
+        "ntij,nj->nti", rotations[obj_of_track], offsets
+    )  # [N, T, 3]
     traj3d = traj3d.transpose(1, 0, 2).astype(np.float32)  # [T, N, 3]
 
     # Per-view projection + exact visibility via the z-buffer.
