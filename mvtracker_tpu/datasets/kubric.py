@@ -191,6 +191,7 @@ class KubricMultiViewDataset:
         depth_noise_cm: float = 0.0,
         dynamic_ratio: float | None = None,
         view_sample_count: int | None = None,
+        depth_source: str = "gt",  # gt | duster | duster_cleaned
     ):
         self.root = root
         self.scenes = sorted(
@@ -204,6 +205,7 @@ class KubricMultiViewDataset:
         self.depth_noise_cm = depth_noise_cm
         self.dynamic_ratio = dynamic_ratio
         self.view_sample_count = view_sample_count
+        self.depth_source = depth_source
 
     @staticmethod
     def from_name(dataset_name: str, dataset_root: str) -> "KubricMultiViewDataset":
@@ -222,9 +224,14 @@ class KubricMultiViewDataset:
         m = re.search(r"-noise([\d.]+)cm", rest)
         if m:
             noise = float(m.group(1))
+        depth_source = "gt"
+        m = re.search(r"-duster(?:(?:\d+_?)+)?(cleaned)?", rest)
+        if m:
+            depth_source = "duster_cleaned" if m.group(1) else "duster"
         seed = 0 if "-cached" in rest else 0  # -cached = frozen sampling seed
         return KubricMultiViewDataset(
-            dataset_root, view_subset=views, seed=seed, depth_noise_cm=noise
+            dataset_root, view_subset=views, seed=seed, depth_noise_cm=noise,
+            depth_source=depth_source,
         )
 
     def __len__(self):
@@ -268,6 +275,25 @@ class KubricMultiViewDataset:
             intrs, extrs = intrs[:, :t], extrs[:, :t]
             tracks_3d, occ = tracks_3d[:t], occ[:, :t]
             raw["tracks_2d"] = raw["tracks_2d"][:, :t]
+
+        if self.depth_source != "gt":
+            # Estimated-depth variants (reference '-duster...' names,
+            # `kubric_multiview_dataset.py:496-512`): read precomputed
+            # per-view depth stacks when present.
+            dirname = {
+                "duster": "duster_depth",
+                "duster_cleaned": "duster_depth_cleaned",
+            }[self.depth_source]
+            scene_path = os.path.join(self.root, self.scenes[idx])
+            alt = []
+            for vi in range(depth.shape[0]):
+                dpath = os.path.join(scene_path, f"view_{vi}", dirname + ".npy")
+                if not os.path.exists(dpath):
+                    raise FileNotFoundError(
+                        f"{self.depth_source} depth missing: {dpath}"
+                    )
+                alt.append(np.load(dpath).astype(np.float32)[: depth.shape[1]])
+            depth = np.stack(alt)
 
         if self.depth_noise_cm > 0:
             # Additive gaussian depth noise (reference '-noise{x}cm' variant).
