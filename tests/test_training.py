@@ -160,3 +160,48 @@ def test_optimizer_tiny_schedule_no_nan():
             u, st = opt.update(g, st, p)
             assert np.isfinite(np.asarray(u["w"])).all()
             p = optax.apply_updates(p, u)
+
+
+def test_crash_replay(tmp_path):
+    """Dumped crash batches reload and replay through the loss."""
+    import jax
+
+    from mvtracker_tpu.training import replay as replay_lib
+    from mvtracker_tpu.training import step as step_lib
+
+    cfg = TrainConfig(
+        total_steps=3, warmup_steps=0, adaptive_iters=False, train_iters=1,
+        save_ckpt_freq=1000, telemetry_freq=100,
+        exp_dir=str(tmp_path / "exp"), schedule="const",
+    )
+    model = tiny_model()
+    trainer = Trainer(model, cfg)
+
+    real_factory = trainer._get_step_fn
+
+    calls = {"n": 0}
+
+    def bad_after_one(iters):
+        real = real_factory(iters)
+
+        def stepper(state, batch):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("boom")
+            return real(state, batch)
+
+        return stepper
+
+    trainer._get_step_fn = bad_after_one
+    with pytest.raises(RuntimeError):
+        trainer.fit(iter(tiny_loader()), max_steps=3)
+
+    batch = replay_lib.load_crash_batch(str(tmp_path / "exp" / "crash"))
+    assert "rgbs" in batch
+
+    opt = step_lib.make_optimizer(total_steps=10)
+    example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
+    state = step_lib.init_state(model, opt, example, jax.random.PRNGKey(0), iters=1)
+    report = replay_lib.replay(batch, model, state.params, iters=1)
+    assert np.isfinite(report["loss"])
+    assert report["nonfinite_grad_leaves"] == []
