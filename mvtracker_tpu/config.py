@@ -123,13 +123,22 @@ def load_config(
 
 
 def build_model(mc: ModelConfig):
-    from mvtracker_tpu.models.mvtracker import MVTracker
+    """Model-family dispatch (the reference's `configs/model/*.yaml` group)."""
+    if mc.name == "copycat":
+        from mvtracker_tpu.models.copycat import CopyCat
 
-    fields = {f.name for f in dataclasses.fields(MVTracker) if f.name != "parent"}
-    kwargs = {
-        k: v for k, v in dataclasses.asdict(mc).items() if k in fields and k != "name"
-    }
-    return MVTracker(**kwargs)
+        return CopyCat()
+    if mc.name in ("mvtracker", "spatracker_multiview"):
+        if mc.name == "spatracker_multiview":
+            from mvtracker_tpu.models.spatracker import MultiViewSpaTracker as cls
+        else:
+            from mvtracker_tpu.models.mvtracker import MVTracker as cls
+        fields = {f.name for f in dataclasses.fields(cls) if f.name != "parent"}
+        kwargs = {
+            k: v for k, v in dataclasses.asdict(mc).items() if k in fields and k != "name"
+        }
+        return cls(**kwargs)
+    raise ValueError(f"unknown model family: {mc.name}")
 
 
 def build_dataset(dc: DataConfig):
