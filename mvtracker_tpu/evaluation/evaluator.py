@@ -109,14 +109,23 @@ class Evaluator:
         predictor,
         dataset: Iterable[Datapoint],
         max_sequences: Optional[int] = None,
+        shard: Optional[tuple[int, int]] = None,
     ):
-        """Returns (summary dict, per-sequence list)."""
+        """Returns (summary dict, per-sequence list).
+
+        `shard=(index, count)` evaluates every count-th sequence starting at
+        index — multi-host evaluation sharding (the reference stubs this
+        out, `cli/train.py:482-487`); merge shards' per_seq lists with
+        `Evaluator.summarize`.
+        """
         import jax.numpy as jnp
 
         per_seq = []
         for i, datapoint in enumerate(dataset):
             if max_sequences is not None and i >= max_sequences:
                 break
+            if shard is not None and i % shard[1] != shard[0]:
+                continue
             if hasattr(predictor, "set_sequence"):
                 # Cached-prediction baselines (reference `evaluator_3dpt.py:497-514`).
                 predictor.set_sequence(datapoint.seq_name)

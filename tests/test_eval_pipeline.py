@@ -167,3 +167,17 @@ def test_predictor_resize_path(tiny_dataset):
     )
     assert out["traj"].shape == (sc.video.shape[1], n_q, 3)
     assert np.isfinite(np.asarray(out["traj"])).all()
+
+
+def test_sharded_evaluation_merges(tiny_dataset):
+    """Multi-host eval sharding: shard results merge to the full summary."""
+    ev = Evaluator("kubric-multiview")
+    _, full = ev.evaluate_sequence(CopyCatPredictor(), tiny_dataset)
+    _, s0 = ev.evaluate_sequence(CopyCatPredictor(), tiny_dataset, shard=(0, 2))
+    _, s1 = ev.evaluate_sequence(CopyCatPredictor(), tiny_dataset, shard=(1, 2))
+    merged = ev.summarize(s0 + s1)
+    reference = ev.summarize(full)
+    assert merged["n_sequences"] == reference["n_sequences"]
+    np.testing.assert_allclose(
+        merged["all_any"]["ate_visible"], reference["all_any"]["ate_visible"], atol=1e-9
+    )
