@@ -54,11 +54,18 @@ class Evaluator:
         evaluation_setting: str = "kubric-multiview",
         compute_2d_metrics: bool = False,
         pixel_thresholds=(1, 2, 4, 8, 16),
+        viz_dir: Optional[str] = None,
+        viz_indices: Optional[list[int]] = None,
     ):
         self.setting = evaluation_setting
         self.thresholds = EVALUATION_SETTINGS[evaluation_setting]
         self.compute_2d_metrics = compute_2d_metrics
         self.pixel_thresholds = list(pixel_thresholds)
+        # Visual validation outputs (the reference's primary test strategy,
+        # SURVEY §4: mp4 overlays for configured indices,
+        # `configs/train.yaml:52-55`).
+        self.viz_dir = viz_dir
+        self.viz_indices = viz_indices
 
     def _metrics_2d(self, datapoint, traj, occluded):
         """Per-view 2D TAP-Vid metrics: project world predictions into each
@@ -154,6 +161,24 @@ class Evaluator:
             )
             if self.compute_2d_metrics and datapoint.trajectory is not None:
                 results.update(self._metrics_2d(datapoint, traj, occluded))
+            if self.viz_dir is not None and (
+                self.viz_indices is None or i in self.viz_indices
+            ):
+                import os
+
+                from mvtracker_tpu.viz.mp4 import render_multiview_mosaic, save_video
+
+                os.makedirs(self.viz_dir, exist_ok=True)
+                frames = render_multiview_mosaic(
+                    datapoint.video.astype(np.uint8),
+                    traj,
+                    datapoint.intrs,
+                    datapoint.extrs,
+                    visibility=~occluded,
+                )
+                save_video(
+                    frames, os.path.join(self.viz_dir, f"{datapoint.seq_name}.mp4")
+                )
             results["fps"] = fps
             results["seq_name"] = datapoint.seq_name
             per_seq.append(results)
