@@ -64,6 +64,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    import mvtracker_tpu
+
+    mvtracker_tpu.enable_compilation_cache()
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
     from mvtracker_tpu.models.mvtracker import MVTracker
 

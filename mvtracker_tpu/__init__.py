@@ -21,3 +21,19 @@ for `jax.sharding.Mesh` SPMD execution over TPU ICI/DCN.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Enable JAX's persistent compilation cache (repo-local by default).
+
+    The flagship graphs take minutes to compile cold; the cache makes every
+    subsequent process start in seconds. Called by the CLIs/bench.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

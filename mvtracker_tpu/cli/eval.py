@@ -27,6 +27,10 @@ def main(argv=None):
 
     import jax
 
+    import mvtracker_tpu
+
+    mvtracker_tpu.enable_compilation_cache()
+
     from mvtracker_tpu.config import build_dataset, build_model, load_config
     from mvtracker_tpu.evaluation.evaluator import Evaluator
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor

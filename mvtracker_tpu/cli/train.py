@@ -27,6 +27,10 @@ def main(argv=None):
 
     import jax
 
+    import mvtracker_tpu
+
+    mvtracker_tpu.enable_compilation_cache()
+
     # Multi-host: initialize the distributed runtime when launched under a
     # multi-process environment (TPU pod slice / SLURM — the reference's
     # SLURM-derived Fabric setup, `cli/train.py:353-365`).
