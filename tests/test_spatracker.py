@@ -56,3 +56,18 @@ def test_grad_flows(tiny_spatracker_out):
     g = jax.grad(loss_fn)(params)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_single_view_monocular_mode(rng):
+    """V=1 triplane tracking == the monocular SpaTracker configuration
+    (reference `spatracker_monocular.py` is the single-view variant)."""
+    model = MultiViewSpaTracker(
+        sliding_window_len=4, stride=4, fmaps_dim=16, num_heads=2,
+        hidden_size=32, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, triplane_res=16, corr_patch_radius=1,
+    )
+    args = make_scene(np.random.default_rng(1), v=1, t=4, h=32, w=32, n=4)
+    params = model.init(jax.random.PRNGKey(0), *args, iters=1)
+    out = model.apply(params, *args, iters=1)
+    assert out["traj"].shape == (4, 4, 3)
+    assert np.isfinite(np.asarray(out["traj"])).all()
