@@ -205,3 +205,12 @@ def test_crash_replay(tmp_path):
     report = replay_lib.replay(batch, model, state.params, iters=1)
     assert np.isfinite(report["loss"])
     assert report["nonfinite_grad_leaves"] == []
+
+
+def test_prefetching_iter_yields_batches():
+    loader = tiny_loader()
+    it = loader.prefetching_iter()
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["rgbs"].shape == b2["rgbs"].shape
+    assert not np.allclose(b1["query_points"], b2["query_points"])
