@@ -37,11 +37,17 @@ def _look_at(cam_pos: np.ndarray, target: np.ndarray) -> np.ndarray:
     return np.concatenate([r, t[:, None]], axis=1)
 
 
-def _sphere_trajectories(rng, n_obj, t):
-    """Smooth per-object center trajectories [n_obj, T, 3]."""
+def _sphere_trajectories(rng, n_obj, t, speed: float = 1.0):
+    """Smooth per-object center trajectories [n_obj, T, 3].
+
+    `speed` scales per-frame displacement. Keep per-frame motion within the
+    correlation neighborhood at the training resolution (a cloud cell at
+    stride 4 covers ~depth*stride/f world units) or the tracker gets no
+    correlation gradient toward the target and collapses to no-motion.
+    """
     base = rng.uniform(-1.2, 1.2, size=(n_obj, 3))
     base[:, 2] = rng.uniform(0.3, 1.2, size=n_obj)  # above ground
-    amp = rng.uniform(0.1, 0.6, size=(n_obj, 3))
+    amp = speed * rng.uniform(0.1, 0.6, size=(n_obj, 3))
     freq = rng.uniform(0.5, 2.0, size=(n_obj, 3))
     phase = rng.uniform(0, 2 * np.pi, size=(n_obj, 3))
     ts = np.linspace(0, 1, t)[None, :, None]
@@ -75,6 +81,7 @@ def render_scene(
     cam_radius: float = 4.0,
     focal_factor: float = 1.0,
     rotate_objects: bool = True,
+    motion_speed: float = 1.0,
 ) -> Datapoint:
     """Render a synthetic scene; returns a fully populated Datapoint.
 
@@ -88,7 +95,7 @@ def render_scene(
     v, t, h, w = n_views, n_frames, height, width
 
     # Objects.
-    centers = _sphere_trajectories(rng, n_objects, t)  # [O, T, 3]
+    centers = _sphere_trajectories(rng, n_objects, t, speed=motion_speed)  # [O, T, 3]
     n_static = int(n_objects * static_fraction)
     if n_static:
         centers[:n_static] = centers[:n_static, :1]  # freeze static objects

@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--out_json", default=None)
     parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--motion_speed", type=float, default=1.0)
+    parser.add_argument("--rotate", action="store_true")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -51,7 +53,10 @@ def main():
         corr_n_levels=3,
         corr_neighbors=8,
     )
-    kw = dict(n_views=2, n_frames=12, height=64, width=64, n_tracks=32)
+    kw = dict(
+        n_views=2, n_frames=12, height=64, width=64, n_tracks=32,
+        motion_speed=args.motion_speed, rotate_objects=args.rotate,
+    )
     train_ds = SyntheticSceneDataset(
         n_scenes=args.train_scenes, cache=True, seed=0, randomize=True,
         augment=args.augment, **kw
