@@ -97,3 +97,27 @@ def test_forward_parity(parity_case):
 
 
 import jax  # noqa: E402  (used inside tests)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """torch .pth -> msgpack -> loadable params that run the model."""
+    import torch
+
+    from mvtracker_tpu.cli.convert import load_converted, main as convert_main
+
+    TorchMVT = load_reference_mvtracker()
+    torch.manual_seed(1)
+    tm = TorchMVT(use_flash_attention=False, **CFG)
+    pth = str(tmp_path / "ref.pth")
+    torch.save(tm.state_dict(), pth)
+    out = str(tmp_path / "conv.msgpack")
+    convert_main([pth, out])
+
+    import jax.numpy as jnp
+
+    model = MVTracker(**CFG)
+    rng = np.random.default_rng(0)
+    args = [jnp.asarray(a) for a in make_scene(rng, v=2, t=6, h=32, w=32, n=4)]
+    params = load_converted(out, model, args, iters=1)
+    o = model.apply(params, *args, iters=1)
+    assert np.isfinite(np.asarray(o["traj"])).all()
