@@ -82,6 +82,7 @@ def render_scene(
     focal_factor: float = 1.0,
     rotate_objects: bool = True,
     motion_speed: float = 1.0,
+    valid_from_visibility: bool = False,
 ) -> Datapoint:
     """Render a synthetic scene; returns a fully populated Datapoint.
 
@@ -90,6 +91,11 @@ def render_scene(
     LOCAL frame so its appearance rotates with the surface — surface tracks
     stay photo-consistent, and rotation makes motion patterns that cannot
     be memorized from query position alone.
+
+    `valid_from_visibility` marks loss validity only where the point is
+    visible in at least one view: surface tracks on the blind hemisphere
+    are unobservable, and supervising them rewards the static-copy local
+    optimum (their conditional-mean target is near the query position).
     """
     rng = np.random.default_rng(seed)
     v, t, h, w = n_views, n_frames, height, width
@@ -251,7 +257,7 @@ def render_scene(
         visibility=visibility,
         trajectory_3d=traj3d,
         query_points_3d=query,
-        valid=np.ones((t, n_tracks), bool),
+        valid=vis_any.copy() if valid_from_visibility else np.ones((t, n_tracks), bool),
         segmentation=seg,
         seq_name=f"synthetic_{seed}",
     )

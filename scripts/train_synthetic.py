@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--motion_speed", type=float, default=1.0)
     parser.add_argument("--rotate", action="store_true")
+    parser.add_argument("--valid_vis", action="store_true",
+                        help="supervise only any-view-visible track entries")
+    parser.add_argument("--views", type=int, default=2)
+    parser.add_argument("--res", type=int, default=64)
+    parser.add_argument("--focal", type=float, default=1.0)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -54,8 +59,9 @@ def main():
         corr_neighbors=8,
     )
     kw = dict(
-        n_views=2, n_frames=12, height=64, width=64, n_tracks=32,
-        motion_speed=args.motion_speed, rotate_objects=args.rotate,
+        n_views=args.views, n_frames=12, height=args.res, width=args.res,
+        n_tracks=32, motion_speed=args.motion_speed, rotate_objects=args.rotate,
+        valid_from_visibility=args.valid_vis, focal_factor=args.focal,
     )
     train_ds = SyntheticSceneDataset(
         n_scenes=args.train_scenes, cache=True, seed=0, randomize=True,
