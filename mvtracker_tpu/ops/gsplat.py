@@ -269,23 +269,27 @@ def render_gaussians(
     img_wh: tuple[int, int],
     bg: jax.Array | None = None,
     chunk: int = 512,
+    means2d_offset: jax.Array | None = None,
 ) -> RenderOutput:
     """Render N gaussians into one pinhole view. colors [N, A] for any A.
 
-    Differentiable in every gaussian parameter. ``means2d`` in the output is
-    the projection of ``means3d`` — take gradients w.r.t. it for the
-    densification statistics that the reference accumulates via
-    ``means2D.retain_grad()`` (dynamic3dgs ``train.py:88``).
+    Differentiable in every gaussian parameter. Pass a zeros [N, 2]
+    ``means2d_offset`` and differentiate w.r.t. it to obtain screen-space
+    center gradients — the densification statistic the reference accumulates
+    via ``means2D.retain_grad()`` (dynamic3dgs ``train.py:88``).
     """
     w, h = img_wh
     cov3d = build_cov3d(log_scales, quats)
     opac = jax.nn.sigmoid(logit_opacities.reshape(-1))
     proj = project_gaussians(means3d, cov3d, opac, intr, w2c, (w, h))
+    means2d = proj.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
 
     order = jnp.argsort(proj.depths)
     attr = colors.astype(means3d.dtype)
     acc, alpha, depth = _composite_chunked(
-        proj.means2d[order],
+        means2d[order],
         proj.conic[order],
         proj.depths[order],
         proj.opacities[order],
