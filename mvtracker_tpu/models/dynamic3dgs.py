@@ -161,8 +161,11 @@ def init_from_pointcloud(
         n = budget
 
     pts_b = jnp.asarray(xyz)[None]
-    nn_dists, _ = knn(pts_b, pts_b, k=4)  # [1, N, 4]; neighbor 0 is self
-    mean_sq = np.clip(np.asarray(nn_dists[0, :, 1:] ** 2).mean(-1), 1e-7, None)
+    nn_dists, _ = knn(pts_b, pts_b, k=min(4, n))  # [1, N, k]; neighbor 0 is self
+    if nn_dists.shape[-1] == 1:
+        mean_sq = np.full((n,), 1e-2)
+    else:
+        mean_sq = np.clip(np.asarray(nn_dists[0, :, 1:] ** 2).mean(-1), 1e-7, None)
 
     c = cfg.capacity
     pad = c - n
