@@ -42,30 +42,39 @@ def main(argv=None):
     dataset = build_dataset(cfg.data)
 
     # Restore params from the experiment dir if checkpoints exist.
-    example = dataset[0]
+    # Parameterless baselines (CopyCat & co.) have no init/checkpoint.
     import jax.numpy as jnp
 
-    params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
-        jax.random.PRNGKey(0),
-        jnp.asarray(example.video),
-        jnp.asarray(example.videodepth),
-        jnp.asarray(example.query_points_3d),
-        jnp.asarray(example.intrs),
-        jnp.asarray(example.extrs),
-    )
-    trainer = Trainer(model, cfg.trainer)
-    optimizer = trainer.optimizer
-    state = step_lib.TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    ckpt_dir = os.path.join(cfg.trainer.exp_dir, "checkpoints")
-    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        state, step = trainer.restore_latest(state)
-        logging.info("evaluating checkpoint at step %d", step)
+    if hasattr(model, "init"):
+        example = dataset[0]
+        params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
+            jax.random.PRNGKey(0),
+            jnp.asarray(example.video),
+            jnp.asarray(example.videodepth),
+            jnp.asarray(example.query_points_3d),
+            jnp.asarray(example.intrs),
+            jnp.asarray(example.extrs),
+        )
+        trainer = Trainer(model, cfg.trainer)
+        optimizer = trainer.optimizer
+        state = step_lib.TrainState(
+            params, optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+        ckpt_dir = os.path.join(cfg.trainer.exp_dir, "checkpoints")
+        if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+            state, step = trainer.restore_latest(state)
+            logging.info("evaluating checkpoint at step %d", step)
+        else:
+            logging.warning(
+                "no checkpoint found in %s; evaluating random init", ckpt_dir
+            )
+        params = state.params
     else:
-        logging.warning("no checkpoint found in %s; evaluating random init", ckpt_dir)
+        params = None
 
     predictor = EvaluationPredictor(
         model,
-        state.params,
+        params,
         interp_shape=tuple(cfg.eval.interp_shape) if cfg.eval.interp_shape else None,
         visibility_threshold=cfg.eval.visibility_threshold,
         grid_size=cfg.eval.grid_size,

@@ -163,4 +163,10 @@ def build_dataset(dc: DataConfig):
             num_tracks=dc.num_tracks,
             seed=dc.seed,
         )
+    if "-multiview" in dc.dataset:
+        # Dataset-name mini-DSL (reference `from_name` factories): e.g.
+        # "kubric-multiview-v3-views0_1_2_3-noise2cm", "panoptic-multiview…".
+        from mvtracker_tpu.datasets.real_world import dataset_from_name
+
+        return dataset_from_name(dc.dataset, dc.root)
     raise ValueError(f"unknown dataset: {dc.dataset}")

@@ -192,11 +192,20 @@ class KubricMultiViewDataset:
         dynamic_ratio: float | None = None,
         view_sample_count: int | None = None,
         depth_source: str = "gt",  # gt | duster | duster_cleaned
+        novel_view_subset: Optional[list[int]] = None,
+        single_scene: bool = False,
+        mode_2d: bool = False,
+        split: Optional[str] = None,  # None | "training" | "overfit"
     ):
         self.root = root
         self.scenes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
+        if single_scene:
+            self.scenes = self.scenes[:1]
+        self.novel_view_subset = novel_view_subset
+        self.mode_2d = mode_2d
+        self.split = split
         self.view_subset = view_subset
         self.num_tracks = num_tracks
         self.seed = seed
@@ -220,6 +229,10 @@ class KubricMultiViewDataset:
         m = re.search(r"-views((?:\d+_?)+)", rest)
         if m:
             views = list(map(int, m.group(1).rstrip("_").split("_")))
+        novel_views = None
+        m = re.search(r"-novelviews((?:\d+_?)+)", rest)
+        if m:
+            novel_views = list(map(int, m.group(1).rstrip("_").split("_")))
         noise = 0.0
         m = re.search(r"-noise([\d.]+)cm", rest)
         if m:
@@ -228,10 +241,20 @@ class KubricMultiViewDataset:
         m = re.search(r"-duster(?:(?:\d+_?)+)?(cleaned)?", rest)
         if m:
             depth_source = "duster_cleaned" if m.group(1) else "duster"
-        seed = 0 if "-cached" in rest else 0  # -cached = frozen sampling seed
+        split = None
+        if "-overfit-on-training" in rest:
+            split = "overfit"
+        elif "-training" in rest:
+            split = "training"
+        # '-cached' freezes track sampling for bit-reproducible evals
+        # (reference kubric_multiview_dataset.py:130-134); sampling here is
+        # already deterministic per (seed, idx), so both map to seed 0.
+        seed = 0
         return KubricMultiViewDataset(
             dataset_root, view_subset=views, seed=seed, depth_noise_cm=noise,
-            depth_source=depth_source,
+            depth_source=depth_source, novel_view_subset=novel_views,
+            single_scene="-single" in rest, mode_2d="-2dpt" in rest,
+            split=split,
         )
 
     def __len__(self):
@@ -249,6 +272,20 @@ class KubricMultiViewDataset:
         intrs, extrs = raw["intrs"], raw["extrs"]
         tracks_3d = raw["tracks_3d"]
         occ = raw["occlusion"]
+
+        novel = None
+        if self.novel_view_subset is not None:
+            # Reference '-novelviews…' variant: held-out views are removed
+            # from the inputs and attached as novel-view supervision targets
+            # (`kubric_multiview_dataset.py` novel-view tensors).
+            nv = [v for v in self.novel_view_subset if v < video.shape[0]]
+            novel = (video[nv].copy(), intrs[nv].copy(), extrs[nv].copy())
+            if self.view_subset is None and self.view_sample_count is None:
+                keep = [v for v in range(video.shape[0]) if v not in nv]
+                video, depth = video[keep], depth[keep]
+                intrs, extrs = intrs[keep], extrs[keep]
+                occ = occ[keep]
+                raw["tracks_2d"] = raw["tracks_2d"][keep]
 
         if self.view_subset is not None:
             view_sel = list(self.view_subset)
@@ -360,4 +397,7 @@ class KubricMultiViewDataset:
             query_points_3d=query,
             valid=np.ones((t, n_sample), bool),
             seq_name=self.scenes[idx],
+            novel_video=novel[0][:, :t] if novel is not None else None,
+            novel_intrs=novel[1][:, :t] if novel is not None else None,
+            novel_extrs=novel[2][:, :t] if novel is not None else None,
         )

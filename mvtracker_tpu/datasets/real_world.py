@@ -263,11 +263,7 @@ def dataset_from_name(dataset_name: str, dataset_root: str):
     if dataset_name.startswith("kubric-multiview"):
         from mvtracker_tpu.datasets.kubric import KubricMultiViewDataset
 
-        views = None
-        m = re.search(r"-views((?:\d+_?)+)", dataset_name)
-        if m:
-            views = list(map(int, m.group(1).rstrip("_").split("_")))
-        return KubricMultiViewDataset(
-            os.path.join(dataset_root, "kubric-multiview"), view_subset=views
+        return KubricMultiViewDataset.from_name(
+            dataset_name, os.path.join(dataset_root, "kubric-multiview")
         )
     raise ValueError(f"unknown dataset name: {dataset_name}")

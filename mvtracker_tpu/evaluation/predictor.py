@@ -140,10 +140,22 @@ class EvaluationPredictor:
         if key not in self._jitted:
             model, n_iters = self.model, self.n_iters
 
-            @jax.jit
-            def f(params, rgbs, depths, queries, intrs, extrs):
-                out = model.apply(params, rgbs, depths, queries, intrs, extrs, iters=n_iters)
-                return out["traj"], out["vis"]
+            if hasattr(model, "apply"):
+
+                @jax.jit
+                def f(params, rgbs, depths, queries, intrs, extrs):
+                    out = model.apply(
+                        params, rgbs, depths, queries, intrs, extrs, iters=n_iters
+                    )
+                    return out["traj"], out["vis"]
+
+            else:
+                # Parameterless baselines (CopyCat, cached predictors):
+                # plain callables with the same signature, params ignored.
+                @jax.jit
+                def f(params, rgbs, depths, queries, intrs, extrs):
+                    out = model(rgbs, depths, queries, intrs, extrs)
+                    return out["traj"], out["vis"]
 
             self._jitted[key] = f
         return self._jitted[key](self.params, rgbs, depths, queries, intrs, extrs)

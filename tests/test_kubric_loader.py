@@ -153,3 +153,68 @@ def test_dataset_datapoint(kubric_dir):
         np.testing.assert_allclose(
             dp.query_points_3d[i, 1:], dp.trajectory_3d[t0, i], atol=1e-5
         )
+
+
+@pytest.fixture(scope="module")
+def kubric_dir4(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kubric4")
+    scene = synthetic.render_scene(
+        seed=5, n_views=4, n_frames=3, height=32, width=40, n_tracks=8
+    )
+    write_kubric_scene(scene, str(root / "scene_000"))
+    write_kubric_scene(scene, str(root / "scene_001"))
+    return str(root), scene
+
+
+class TestNameGrammar:
+    """Reference name mini-DSL (`kubric_multiview_dataset.py:30-204`)."""
+
+    def test_views_noise_duster_flags(self, kubric_dir4):
+        root, _ = kubric_dir4
+        ds = KubricMultiViewDataset.from_name(
+            "kubric-multiview-v3-views0_2-noise2.5cm-dustercleaned", root
+        )
+        assert ds.view_subset == [0, 2]
+        assert ds.depth_noise_cm == 2.5
+        assert ds.depth_source == "duster_cleaned"
+
+    def test_split_single_2dpt_flags(self, kubric_dir4):
+        root, _ = kubric_dir4
+        ds = KubricMultiViewDataset.from_name(
+            "kubric-multiview-v3-training-single-2dpt", root
+        )
+        assert ds.split == "training"
+        assert ds.mode_2d
+        assert len(ds.scenes) == 1  # -single restricts to the first scene
+
+        ds2 = KubricMultiViewDataset.from_name(
+            "kubric-multiview-v3-overfit-on-training", root
+        )
+        assert ds2.split == "overfit"
+        assert len(ds2.scenes) == 2
+
+    def test_novelviews_held_out_and_attached(self, kubric_dir4):
+        root, scene = kubric_dir4
+        ds = KubricMultiViewDataset.from_name(
+            "kubric-multiview-v3-novelviews1_3", root
+        )
+        assert ds.novel_view_subset == [1, 3]
+        dp = ds[0]
+        # inputs exclude views 1 and 3
+        assert dp.video.shape[0] == 2
+        # novel tensors attached with the held-out views
+        assert dp.novel_video.shape[0] == 2
+        assert dp.novel_intrs.shape[0] == 2 and dp.novel_extrs.shape[0] == 2
+        np.testing.assert_allclose(
+            dp.novel_video[0], scene.video[1], atol=2
+        )  # uint8 roundtrip tolerance
+
+    def test_dispatch_routes_through_full_grammar(self, kubric_dir4, tmp_path):
+        from mvtracker_tpu.datasets.real_world import dataset_from_name
+
+        root, _ = kubric_dir4
+        link = tmp_path / "kubric-multiview"
+        os.symlink(root, link)
+        ds = dataset_from_name("kubric-multiview-v3-views0_1-noise1cm", str(tmp_path))
+        assert ds.view_subset == [0, 1]
+        assert ds.depth_noise_cm == 1.0
