@@ -1,0 +1,483 @@
+"""VGGT (Visual Geometry Grounded Transformer), TPU-native flax implementation.
+
+Reference: ``mvtracker/models/core/vggt/`` (vendored facebook/VGGT-1B,
+~4.4 kLoC torch) — used by the reference as a feed-forward depth/pose
+estimator for unlabeled scenes (``generic_scene_dataset.py:607-853``) and
+the demo's ``--depth_estimator vggt_*`` modes (``demo.py:85-108``).
+
+Architecture reproduced here (aggregator + camera head + DPT depth/point
+heads):
+
+* **Aggregator** (``models/aggregator.py:24-331``): patchify each frame,
+  prepend 1 camera token + R register tokens (separate learned values for
+  frame 0 vs the rest, ``slice_expand_and_flatten``), then ``depth``
+  alternating-attention rounds: a *frame* block attends within each frame's
+  tokens ``(B*S, P, C)``, a *global* block attends across all frames
+  ``(B, S*P, C)``. Both use 2D rotary position embeddings on patch tokens,
+  LayerScale, and QK-norm. Outputs concatenate frame+global intermediates
+  to ``2*embed_dim`` per collection point.
+* **CameraHead** (``heads/camera_head.py``): iterative refinement over the
+  camera token with AdaLN modulation from the previous pose encoding;
+  predicts ``absT_quaR_FoV`` 9-D encodings; converted to extrinsics [3,4] /
+  intrinsics [3,3] as in ``utils/pose_enc.py``.
+* **DPTHead** (``heads/dpt_head.py``): 4 intermediate aggregator layers ->
+  per-layer projection + re-assembly to 4 scales -> residual fusion pyramid
+  -> depth (+confidence) at full resolution.
+
+TPU-first notes: everything is dense static-shape attention that XLA maps
+straight onto the MXU — frame attention is one batched matmul over B*S
+frames; there is no varlen/flash CUDA path to port (the reference's
+``flash_attn`` usage collapses into XLA's fused attention). The DINOv2
+ViT-L *pretrained* patch embedder is an external download in the reference;
+here patch embedding is the aggregator-native conv patchify (the
+reference's ``patch_embed="conv"`` option) — weight conversion from a
+downloaded VGGT checkpoint can populate every module this file defines.
+
+The track head (a CoTracker-style 2D refiner, unused by the reference's
+MVTracker integration) is intentionally not reproduced; this repo's own
+tracker families cover that capability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_RESNET_MEAN = (0.485, 0.456, 0.406)
+_RESNET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGTConfig:
+    """Full-size defaults mirror VGGT-1B (aggregator.py:52-70)."""
+
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    rope_freq: float = 100.0
+    init_values: float = 0.01  # LayerScale
+    camera_trunk_depth: int = 4
+    camera_iterations: int = 4
+    dpt_features: int = 256
+    dpt_out_channels: tuple = (256, 512, 1024, 1024)
+    compute_dtype: object = None
+
+    @property
+    def intermediate_layer_idx(self) -> tuple:
+        """Aggregator layers feeding the DPT heads (dpt_head.py:56)."""
+        if self.depth >= 24:
+            return (4, 11, 17, 23)
+        # Scaled for small test configs.
+        q = max(self.depth // 4, 1)
+        return (q - 1, 2 * q - 1, 3 * q - 1, self.depth - 1)
+
+
+def tiny_config(**over) -> VGGTConfig:
+    """A CPU-testable instance with the same topology."""
+    base = dict(
+        img_size=56, patch_size=14, embed_dim=64, depth=4, num_heads=4,
+        num_register_tokens=2, camera_trunk_depth=2, dpt_features=32,
+        dpt_out_channels=(32, 48, 64, 64),
+    )
+    base.update(over)
+    return VGGTConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# 2D rotary position embedding (layers/rope.py:102-188)
+# ---------------------------------------------------------------------------
+
+
+def _rope_1d(x: jax.Array, pos: jax.Array, base: float) -> jax.Array:
+    """x [B, H, N, D], pos [B, N] -> rotated features."""
+    d = x.shape[-1]
+    exponents = jnp.arange(0, d, 2, dtype=jnp.float32) / d
+    inv_freq = 1.0 / (base**exponents)  # [d/2]
+    angles = pos[..., None].astype(jnp.float32) * inv_freq  # [B, N, d/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [B, N, d]
+    cos = jnp.cos(angles)[:, None]
+    sin = jnp.sin(angles)[:, None]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos + rotated * sin).astype(x.dtype)
+
+
+def apply_rope_2d(x: jax.Array, positions: jax.Array, base: float) -> jax.Array:
+    """x [B, H, N, D] (D % 4 == 0), positions [B, N, 2] (y, x)."""
+    d = x.shape[-1]
+    vert, horiz = x[..., : d // 2], x[..., d // 2 :]
+    vert = _rope_1d(vert, positions[..., 0], base)
+    horiz = _rope_1d(horiz, positions[..., 1], base)
+    return jnp.concatenate([vert, horiz], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Transformer block (layers/block.py: pre-LN, QK-norm, LayerScale)
+# ---------------------------------------------------------------------------
+
+
+class VGGTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    rope_freq: float = 100.0
+    qk_norm: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: Optional[jax.Array] = None) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # [B,H,N,D]
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+        if pos is not None and self.rope_freq > 0:
+            q = apply_rope_2d(q, pos, self.rope_freq)
+            k = apply_rope_2d(k, pos, self.rope_freq)
+        scale = head_dim**-0.5
+        sim = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class VGGTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: float = 0.01
+    rope_freq: float = 100.0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: Optional[jax.Array] = None) -> jax.Array:
+        ls1 = self.param("ls1", nn.initializers.constant(self.init_values), (self.dim,))
+        ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (self.dim,))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = VGGTAttention(
+            self.dim, self.num_heads, self.rope_freq, dtype=self.dtype, name="attn"
+        )(y, pos)
+        x = x + ls1 * y
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + ls2 * y
+
+
+# ---------------------------------------------------------------------------
+# Aggregator (models/aggregator.py)
+# ---------------------------------------------------------------------------
+
+
+class Aggregator(nn.Module):
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> tuple[list[jax.Array], int]:
+        """images [B, S, H, W, 3] in [0,1] -> (intermediates [B,S,P,2C], start)."""
+        cfg = self.cfg
+        b, s, h, w, _ = images.shape
+        mean = jnp.asarray(_RESNET_MEAN)
+        std = jnp.asarray(_RESNET_STD)
+        x = (images - mean) / std
+
+        # Conv patchify (reference patch_embed="conv").
+        x = x.reshape(b * s, h, w, 3)
+        patches = nn.Conv(
+            cfg.embed_dim,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.compute_dtype,
+            name="patch_embed",
+        )(x)
+        hp, wp = h // cfg.patch_size, w // cfg.patch_size
+        patches = patches.reshape(b * s, hp * wp, cfg.embed_dim)
+
+        # Camera + register tokens: index 0 for frame 0, index 1 for the rest
+        # (aggregator.py:124-125, slice_expand_and_flatten).
+        camera_tok = self.param(
+            "camera_token", nn.initializers.normal(1e-6), (2, 1, cfg.embed_dim)
+        )
+        register_tok = self.param(
+            "register_token",
+            nn.initializers.normal(1e-6),
+            (2, cfg.num_register_tokens, cfg.embed_dim),
+        )
+        sel = jnp.minimum(jnp.arange(s), 1)  # [S]: 0, 1, 1, ...
+        cam = camera_tok[sel]  # [S, 1, C]
+        reg = register_tok[sel]  # [S, R, C]
+        special = jnp.concatenate([cam, reg], axis=1)  # [S, 1+R, C]
+        special = jnp.tile(special, (b, 1, 1))  # [B*S, 1+R, C]
+        tokens = jnp.concatenate([special.astype(patches.dtype), patches], axis=1)
+        patch_start = 1 + cfg.num_register_tokens
+        p = tokens.shape[1]
+
+        # RoPE positions: (y+1, x+1) for patches, 0 for special tokens.
+        ys, xs = jnp.mgrid[0:hp, 0:wp]
+        pos_patch = jnp.stack([ys, xs], -1).reshape(1, hp * wp, 2) + 1
+        pos = jnp.concatenate(
+            [jnp.zeros((1, patch_start, 2), pos_patch.dtype), pos_patch], axis=1
+        )
+        pos_frame = jnp.tile(pos, (b * s, 1, 1))  # [B*S, P, 2]
+        pos_global = jnp.tile(pos, (b, s, 1)).reshape(b, s * p, 2)
+
+        outputs = []
+        for i in range(cfg.depth):
+            # frame attention: within each frame
+            tokens = VGGTBlock(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+                cfg.rope_freq, dtype=cfg.compute_dtype, name=f"frame_{i}",
+            )(tokens, pos_frame)
+            frame_inter = tokens.reshape(b, s, p, cfg.embed_dim)
+            # global attention: across all frames
+            tokens_g = tokens.reshape(b, s * p, cfg.embed_dim)
+            tokens_g = VGGTBlock(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+                cfg.rope_freq, dtype=cfg.compute_dtype, name=f"global_{i}",
+            )(tokens_g, pos_global)
+            tokens = tokens_g.reshape(b * s, p, cfg.embed_dim)
+            global_inter = tokens.reshape(b, s, p, cfg.embed_dim)
+            outputs.append(jnp.concatenate([frame_inter, global_inter], axis=-1))
+        return outputs, patch_start
+
+
+# ---------------------------------------------------------------------------
+# Camera head (heads/camera_head.py)
+# ---------------------------------------------------------------------------
+
+
+class CameraHead(nn.Module):
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, aggregated: list[jax.Array]) -> list[jax.Array]:
+        """-> list of pose encodings [B, S, 9] per refinement iteration."""
+        cfg = self.cfg
+        dim = 2 * cfg.embed_dim
+        tokens = aggregated[-1][:, :, 0]  # camera token: [B, S, 2C]
+        tokens = nn.LayerNorm(name="token_norm")(tokens)
+
+        empty_pose = self.param("empty_pose_tokens", nn.initializers.zeros, (1, 1, 9))
+        b, s, _ = tokens.shape
+
+        # Modules are shared across refinement iterations (the reference
+        # reuses self.trunk / self.pose_branch each iteration).
+        embed_pose = nn.Dense(dim, name="embed_pose")
+        pose_modulation = nn.Dense(3 * dim, name="pose_modulation")
+        adaln_norm = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, name="adaln_norm"
+        )
+        trunk = [
+            VGGTBlock(
+                dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+                rope_freq=-1.0, name=f"trunk_{d}",
+            )
+            for d in range(cfg.camera_trunk_depth)
+        ]
+        trunk_norm = nn.LayerNorm(name="trunk_norm")
+        pose_fc1 = nn.Dense(dim // 2, name="pose_branch_fc1")
+        pose_fc2 = nn.Dense(9, name="pose_branch_fc2")
+
+        preds = []
+        pred = None
+        for it in range(cfg.camera_iterations):
+            if pred is None:
+                inp = jnp.broadcast_to(empty_pose, (b, s, 9))
+            else:
+                inp = jax.lax.stop_gradient(pred)
+            mod = pose_modulation(jax.nn.silu(embed_pose(inp)))
+            shift, scale, gate = jnp.split(mod, 3, axis=-1)
+            modulated = gate * (adaln_norm(tokens) * (1 + scale) + shift) + tokens
+
+            for blk in trunk:
+                modulated = blk(modulated)
+            out = trunk_norm(modulated)
+            delta = pose_fc2(nn.gelu(pose_fc1(out)))
+            pred = delta if pred is None else pred + delta
+            # activate_pose: fl_act="relu" on FoV, linear T/quat (head_act.py).
+            activated = jnp.concatenate(
+                [pred[..., :7], nn.relu(pred[..., 7:])], axis=-1
+            )
+            preds.append(activated)
+        return preds
+
+
+def pose_encoding_to_extri_intri(
+    pose_enc: jax.Array, image_size_hw: tuple[int, int]
+) -> tuple[jax.Array, jax.Array]:
+    """[..., 9] (absT, quaR wxyz, FoV hw) -> extrinsics [...,3,4], intrinsics
+    [...,3,3] (utils/pose_enc.py:65-130; principal point at image center)."""
+    from mvtracker_tpu.ops.gsplat import quat_to_rotmat
+
+    t = pose_enc[..., :3]
+    quat = pose_enc[..., 3:7]
+    fov_h, fov_w = pose_enc[..., 7], pose_enc[..., 8]
+    r = quat_to_rotmat(quat)
+    extr = jnp.concatenate([r, t[..., None]], axis=-1)
+    h, w = image_size_hw
+    fy = (h / 2.0) / jnp.tan(jnp.clip(fov_h / 2.0, 1e-3))
+    fx = (w / 2.0) / jnp.tan(jnp.clip(fov_w / 2.0, 1e-3))
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    intr = jnp.stack(
+        [
+            jnp.stack([fx, zeros, jnp.full_like(fx, w / 2.0)], -1),
+            jnp.stack([zeros, fy, jnp.full_like(fy, h / 2.0)], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+    return extr, intr
+
+
+# ---------------------------------------------------------------------------
+# DPT head (heads/dpt_head.py)
+# ---------------------------------------------------------------------------
+
+
+class _FusionBlock(nn.Module):
+    features: int
+    has_residual: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, residual: Optional[jax.Array] = None) -> jax.Array:
+        def res_unit(y, name):
+            z = nn.relu(y)
+            z = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name=f"{name}_conv1")(z)
+            z = nn.relu(z)
+            z = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name=f"{name}_conv2")(z)
+            return y + z
+
+        if self.has_residual and residual is not None:
+            x = x + res_unit(residual, "res1")
+        x = res_unit(x, "res2")
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class DPTHead(nn.Module):
+    cfg: VGGTConfig
+    output_dim: int = 2  # value + confidence
+    activation: str = "exp"  # depth head; "inv_log" for the point head
+    conf_activation: str = "expp1"
+
+    @nn.compact
+    def __call__(
+        self,
+        aggregated: list[jax.Array],
+        images: jax.Array,  # [B, S, H, W, 3]
+        patch_start_idx: int,
+    ) -> tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        b, s, h, w, _ = images.shape
+        hp, wp = h // cfg.patch_size, w // cfg.patch_size
+        feats = []
+        for li, layer in enumerate(cfg.intermediate_layer_idx):
+            t = aggregated[layer][:, :, patch_start_idx:]  # [B, S, P, 2C]
+            t = nn.LayerNorm(name=f"norm_{li}")(t)
+            t = t.reshape(b * s, hp, wp, t.shape[-1])
+            t = nn.Conv(
+                cfg.dpt_out_channels[li], (1, 1), dtype=cfg.compute_dtype,
+                name=f"project_{li}",
+            )(t)
+            # Reassemble to pyramid scales: 4x, 2x, 1x, 0.5x of patch grid.
+            scale = (4, 2, 1, 0.5)[li]
+            nh, nw = int(hp * scale), int(wp * scale)
+            t = jax.image.resize(t, (b * s, nh, nw, t.shape[-1]), "bilinear")
+            t = nn.Conv(
+                cfg.dpt_features, (3, 3), padding=1, dtype=cfg.compute_dtype,
+                name=f"scratch_{li}",
+            )(t)
+            feats.append(t)
+
+        # Fusion pyramid, coarsest first (refinenet4 -> 1).
+        x = _FusionBlock(cfg.dpt_features, has_residual=False, dtype=cfg.compute_dtype, name="refine4")(feats[3])
+        x = _FusionBlock(cfg.dpt_features, dtype=cfg.compute_dtype, name="refine3")(x, feats[2])
+        # refine3 upsampled past feats[1] scale; resize to match before fusing.
+        x = jax.image.resize(x, feats[1].shape[:1] + feats[1].shape[1:3] + x.shape[-1:], "bilinear")
+        x = _FusionBlock(cfg.dpt_features, dtype=cfg.compute_dtype, name="refine2")(x, feats[1])
+        x = jax.image.resize(x, feats[0].shape[:1] + feats[0].shape[1:3] + x.shape[-1:], "bilinear")
+        x = _FusionBlock(cfg.dpt_features, dtype=cfg.compute_dtype, name="refine1")(x, feats[0])
+
+        x = nn.Conv(cfg.dpt_features, (3, 3), padding=1, dtype=cfg.compute_dtype, name="out_conv1")(x)
+        x = jax.image.resize(x, (b * s, h, w, x.shape[-1]), "bilinear")
+        x = nn.Conv(cfg.dpt_features // 2, (3, 3), padding=1, name="out_conv2a")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.output_dim, (1, 1), name="out_conv2b")(x)
+
+        value, conf = x[..., :-1], x[..., -1]
+        if self.activation == "exp":
+            value = jnp.exp(jnp.clip(value, -10.0, 10.0))
+        elif self.activation == "inv_log":
+            # head_act.py inv_log: sign(x) * (exp(|x|) - 1) compressive inverse
+            value = jnp.sign(value) * (jnp.expm1(jnp.minimum(jnp.abs(value), 10.0)))
+        if self.conf_activation == "expp1":
+            conf = 1.0 + jnp.exp(jnp.clip(conf, -10.0, 10.0))
+        value = value.reshape(b, s, h, w, -1)
+        conf = conf.reshape(b, s, h, w)
+        return value, conf
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class VGGT(nn.Module):
+    """Aggregator + camera/depth/point heads (models/vggt.py:17-110)."""
+
+    cfg: VGGTConfig = VGGTConfig()
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> dict:
+        """images [B, S, H, W, 3] in [0,1] -> predictions dict."""
+        b, s, h, w, _ = images.shape
+        aggregated, patch_start = Aggregator(self.cfg, name="aggregator")(images)
+
+        pose_enc_list = CameraHead(self.cfg, name="camera_head")(aggregated)
+        depth, depth_conf = DPTHead(
+            self.cfg, output_dim=2, activation="exp", name="depth_head"
+        )(aggregated, images, patch_start)
+        world_points, point_conf = DPTHead(
+            self.cfg, output_dim=4, activation="inv_log", name="point_head"
+        )(aggregated, images, patch_start)
+
+        extr, intr = pose_encoding_to_extri_intri(pose_enc_list[-1], (h, w))
+        return {
+            "pose_enc": pose_enc_list[-1],
+            "pose_enc_list": pose_enc_list,
+            "extrinsics": extr,
+            "intrinsics": intr,
+            "depth": depth,
+            "depth_conf": depth_conf,
+            "world_points": world_points[..., :3],
+            "world_points_conf": point_conf,
+        }
+
+
+def estimate_depth_and_poses(model: VGGT, params, images: np.ndarray, batch_frames: int = 0):
+    """Convenience inference wrapper matching how the reference consumes VGGT
+    (generic_scene_dataset.py:607-853): images [S, H, W, 3] in [0,1] ->
+    (depth [S, H, W], conf [S, H, W], extr [S, 3, 4], intr [S, 3, 3])."""
+    out = jax.jit(model.apply)(params, jnp.asarray(images)[None])
+    return (
+        np.asarray(out["depth"][0, ..., 0]),
+        np.asarray(out["depth_conf"][0]),
+        np.asarray(out["extrinsics"][0]),
+        np.asarray(out["intrinsics"][0]),
+    )
