@@ -460,7 +460,7 @@ def knn_pallas_fused(
     query: jax.Array,
     k: int,
     query_tile: int = 256,
-    chunk: int = 2048,
+    chunk: int = 4096,
     interpret: bool = False,
 ):
     """Packed-key kNN with the ref-chunk loop inside the kernel (v3).
