@@ -121,6 +121,7 @@ class EvaluationPredictor:
         single_point: bool = False,
         local_grid_size: int = 8,
         local_extent: int = 50,
+        consume_model_stats: bool = False,
     ):
         self.model = model
         self.params = params
@@ -133,6 +134,12 @@ class EvaluationPredictor:
         self.single_point = single_point
         self.local_grid_size = local_grid_size
         self.local_extent = local_extent
+        # Model-internal kNN statistics (reference `consume_model_stats`,
+        # `cli/train.py:264-275`): requires a model built with
+        # `collect_stats=True`; after each __call__, `last_model_stats`
+        # holds the aggregated pandas table.
+        self.consume_model_stats = consume_model_stats
+        self.last_model_stats = None
         self._jitted = {}
 
     def _forward(self, rgbs, depths, queries, intrs, extrs):
@@ -140,7 +147,17 @@ class EvaluationPredictor:
         if key not in self._jitted:
             model, n_iters = self.model, self.n_iters
 
-            if hasattr(model, "apply"):
+            if hasattr(model, "apply") and self.consume_model_stats:
+
+                @jax.jit
+                def f(params, rgbs, depths, queries, intrs, extrs):
+                    out, variables = model.apply(
+                        params, rgbs, depths, queries, intrs, extrs, iters=n_iters,
+                        mutable=["intermediates"],
+                    )
+                    return out["traj"], out["vis"], variables["intermediates"]
+
+            elif hasattr(model, "apply"):
 
                 @jax.jit
                 def f(params, rgbs, depths, queries, intrs, extrs):
@@ -158,7 +175,14 @@ class EvaluationPredictor:
                     return out["traj"], out["vis"]
 
             self._jitted[key] = f
-        return self._jitted[key](self.params, rgbs, depths, queries, intrs, extrs)
+        out = self._jitted[key](self.params, rgbs, depths, queries, intrs, extrs)
+        if len(out) == 3:
+            from mvtracker_tpu.models.mvtracker import consume_stats
+
+            traj, vis, intermediates = out
+            self.last_model_stats = consume_stats(intermediates)
+            return traj, vis
+        return out
 
     def __call__(
         self,

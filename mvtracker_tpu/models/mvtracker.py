@@ -89,6 +89,47 @@ def invert_scene_transform(scale, rot, trans, xyz):
     return jnp.einsum("ji,...j->...i", rot, xyz - trans) / scale
 
 
+def consume_stats(intermediates: dict):
+    """Aggregate sowed kNN neighbor-distance stats into a pandas table.
+
+    Mirrors the reference's `MVTracker.consume_stats`
+    (`mvtracker/mvtracker.py:190-242`), which collects per-level /
+    per-iteration kNN neighbor distances into pandas DataFrames for eval
+    diagnostics. Input is the "intermediates" collection returned by
+    `model.apply(..., mutable=["intermediates"])` on a model constructed
+    with `collect_stats=True`; each `knn_dists_lvl{L}` leaf is stacked by
+    the window/iteration scans to [n_windows, iters, k].
+
+    Returns a long-format DataFrame with columns
+    (window, iteration, level, k, mean_dist).
+    """
+    import pandas as pd
+
+    rows = []
+    for name, vals in intermediates.items():
+        if not name.startswith("knn_dists_lvl"):
+            continue
+        lvl = int(name[len("knn_dists_lvl"):])
+        arr = np.asarray(vals[0] if isinstance(vals, (tuple, list)) else vals)
+        arr = arr.reshape(arr.shape[0], arr.shape[1], -1)  # [W, iters, K]
+        for wi in range(arr.shape[0]):
+            for ii in range(arr.shape[1]):
+                for kk in range(arr.shape[2]):
+                    rows.append(
+                        {
+                            "window": wi,
+                            "iteration": ii,
+                            "level": lvl,
+                            "k": kk,
+                            "mean_dist": float(arr[wi, ii, kk]),
+                        }
+                    )
+    df = pd.DataFrame(rows)
+    if len(df):
+        df = df.sort_values(["level", "window", "iteration", "k"]).reset_index(drop=True)
+    return df
+
+
 def window_starts(num_frames: int, window_len: int) -> list[int]:
     """Static sliding-window start frames; mirrors the reference loop
     condition `while w_idx_start < num_frames - S // 2` with hop S/2
@@ -133,6 +174,12 @@ class MVTracker(nn.Module):
     # management (`mvtracker.py:546-574`). Enable for long videos / large
     # batch training.
     remat: bool = False
+    # Model-internal kNN neighbor-distance statistics (reference
+    # `init_stats`/`consume_stats`, `mvtracker.py:190-242`): when True, mean
+    # neighbor distances per (window, iteration, level, k-rank) are sowed
+    # into the "intermediates" collection; run `.apply(...,
+    # mutable=["intermediates"])` and feed the result to `consume_stats`.
+    collect_stats: bool = False
 
     @property
     def updateformer_input_dim(self) -> int:
@@ -304,6 +351,7 @@ class MVTracker(nn.Module):
         scanned = nn.scan(
             refine_step,
             variable_broadcast="params",
+            variable_axes={"intermediates": 0},
             split_rngs={"params": False},
             length=iters,
             out_axes=0,
@@ -325,9 +373,14 @@ class MVTracker(nn.Module):
         fcorrs = []
         for lvl in range(self.corr_n_levels):
             xyz_l, fvec_l = context_w[lvl]
-            _, idx = knn_ops.knn(
+            dists, idx = knn_ops.knn(
                 xyz_l, coords, self.corr_neighbors, backend=self.knn_backend
             )
+            if self.collect_stats:
+                # Mean neighbor distance per k-rank, aggregated over the
+                # window's (frame, track) grid (reference `mvtracker.py:
+                # 190-242` collects the same distances into pandas tables).
+                self.sow("intermediates", f"knn_dists_lvl{lvl}", dists.mean(axis=(0, 1)))
             fc = corr_ops.corr_sample(
                 xyz_l,
                 fvec_l,
@@ -444,6 +497,7 @@ class MVTracker(nn.Module):
         scanned = nn.scan(
             window_step,
             variable_broadcast="params",
+            variable_axes={"intermediates": 0},
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
             out_axes=0,

@@ -33,6 +33,7 @@ import numpy as np
 
 from mvtracker_tpu.parallel import mesh as mesh_lib
 from mvtracker_tpu.training import step as step_lib
+from mvtracker_tpu.utils import observability as obs
 
 
 @dataclasses.dataclass
@@ -60,6 +61,10 @@ class TrainConfig:
     # the first N steps draw from a second, static-scene iterator.
     static_pretrain_steps: int = 0
     tensorboard: bool = True  # per-step scalars to <exp_dir>/tb (reference `train.py:622`)
+    # Faulthandler hang watchdog (reference `cli/utils/helpers.py:45-47`,
+    # `configs/train.yaml:106-110`): dump all stacks if a step makes no
+    # progress for this long. 0 disables.
+    watchdog_timeout_s: float = 600.0
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -185,6 +190,8 @@ class Trainer:
         rng = np.random.default_rng(cfg.seed)
         self._install_signal_handlers()
         os.makedirs(cfg.exp_dir, exist_ok=True)
+        if cfg.watchdog_timeout_s > 0:
+            obs.install_hang_watchdog(cfg.watchdog_timeout_s)
 
         if state is None:
             first = next(data_iter)
@@ -223,6 +230,8 @@ class Trainer:
                 data_times.append(t1 - t0)
                 step_times.append(t2 - t1)
                 step += 1
+                if cfg.watchdog_timeout_s > 0:
+                    obs.reset_hang_watchdog(cfg.watchdog_timeout_s)
 
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
@@ -235,6 +244,10 @@ class Trainer:
                             tb.add_scalar(f"train/{k}", float(metrics[k]), step)
 
                 if step % cfg.telemetry_freq == 0:
+                    mem = obs.device_memory_stats()
+                    if mem and tb is not None:
+                        peak = max(m["peak_bytes_in_use_mb"] for m in mem.values())
+                        tb.add_scalar("sys/peak_hbm_mb", peak, step)
                     dt, st = np.asarray(data_times), np.asarray(step_times)
                     logging.info(
                         "step %d loss=%.4f xyz=%.4f vis=%.4f | data %.0f/%.0f/%.0f ms "
@@ -265,6 +278,9 @@ class Trainer:
             except Exception:
                 logging.exception("failed to save crash artifacts")
             raise
+        finally:
+            if cfg.watchdog_timeout_s > 0:
+                obs.cancel_hang_watchdog()
 
         if self._stop_requested:
             self.save(state, step)

@@ -1,0 +1,101 @@
+"""Rank-aware logging and hang watchdog (L7 aux).
+
+TPU-native equivalents of the reference's CLI utilities:
+
+- `RankedLogger` (reference `mvtracker/cli/utils/pylogger.py:7-51`):
+  prefixes every record with the process index and can restrict emission to
+  rank 0 — multi-host JAX runs one Python process per host, so
+  `jax.process_index()` plays the role of the DDP global rank.
+- `install_hang_watchdog` (reference `cli/utils/helpers.py:45-47`,
+  config `configs/train.yaml:106-110`): faulthandler dumps all thread
+  stacks if the process makes no progress for `timeout_s` — the tool that
+  turns a silent SPMD deadlock (one host missing a collective) into a
+  stack trace.
+"""
+
+from __future__ import annotations
+
+import faulthandler
+import logging
+from typing import Optional
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:  # pragma: no cover - jax not initialized / no backend
+        return 0
+
+
+class RankedLogger(logging.LoggerAdapter):
+    """Logger adapter that prefixes records with the JAX process index.
+
+    With `rank_zero_only=True`, records from other hosts are dropped —
+    mirroring the reference's `RankedLogger` semantics
+    (`cli/utils/pylogger.py:7-51`).
+    """
+
+    def __init__(
+        self,
+        name: str = __name__,
+        rank_zero_only: bool = False,
+        extra: Optional[dict] = None,
+    ):
+        super().__init__(logging.getLogger(name), extra or {})
+        self.rank_zero_only = rank_zero_only
+
+    def log(self, level: int, msg, *args, rank: Optional[int] = None, **kwargs):
+        """Log, optionally only on a given rank (`rank=`), with prefix.
+
+        `rank=N` emits only on process N; `rank_zero_only` wins if set.
+        """
+        if not self.isEnabledFor(level):
+            return
+        current = _process_index()
+        if self.rank_zero_only and current != 0:
+            return
+        if rank is not None and current != rank:
+            return
+        msg, kwargs = self.process(f"[rank {current}] {msg}", kwargs)
+        self.logger.log(level, msg, *args, **kwargs)
+
+
+def install_hang_watchdog(timeout_s: float = 600.0, repeat: bool = True) -> None:
+    """Dump all thread stacks if no progress for `timeout_s` seconds.
+
+    Call `reset_hang_watchdog()` periodically (e.g. once per train step) to
+    push the deadline forward, and `cancel_hang_watchdog()` on clean exit.
+    Mirrors the reference's faulthandler watchdog
+    (`cli/utils/helpers.py:45-47`).
+    """
+    faulthandler.dump_traceback_later(timeout_s, repeat=repeat)
+
+
+def reset_hang_watchdog(timeout_s: float = 600.0, repeat: bool = True) -> None:
+    """Re-arm the watchdog (progress heartbeat)."""
+    faulthandler.dump_traceback_later(timeout_s, repeat=repeat)
+
+
+def cancel_hang_watchdog() -> None:
+    faulthandler.cancel_dump_traceback_later()
+
+
+def device_memory_stats() -> dict:
+    """Per-device HBM usage in MB (the reference logs `gpustat` at
+    `cli/train.py:236`; TPU equivalent is the runtime's memory_stats)."""
+    stats = {}
+    try:
+        import jax
+
+        for d in jax.local_devices():
+            s = d.memory_stats()
+            if s:
+                stats[str(d.id)] = {
+                    "bytes_in_use_mb": s.get("bytes_in_use", 0) / 2**20,
+                    "peak_bytes_in_use_mb": s.get("peak_bytes_in_use", 0) / 2**20,
+                }
+    except Exception:  # pragma: no cover - backend without memory_stats
+        pass
+    return stats
