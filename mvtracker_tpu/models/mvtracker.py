@@ -390,6 +390,8 @@ class MVTracker(nn.Module):
                 groups=self.corr_n_groups,
                 add_neighbor_offset=self.corr_add_neighbor_offset,
                 add_neighbor_xyz=self.corr_add_neighbor_xyz,
+                # bf16 stream matches the reference's bf16-autocast corr.
+                compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else None,
             )  # [S, N, K, F]
             fcorrs.append(fc.reshape(s, n, -1))
         return jnp.concatenate(fcorrs, axis=-1)

@@ -56,6 +56,7 @@ class Attention(nn.Module):
         x: jax.Array,  # [B, Nq, C]
         context: Optional[jax.Array] = None,  # [B, Nk, C]
         key_mask: Optional[jax.Array] = None,  # [B, Nk] bool
+        pair_mask: Optional[jax.Array] = None,  # [Nq, Nk] bool (static pattern)
     ) -> jax.Array:
         inner = self.num_heads * self.dim_head
         ctx = x if context is None else context
@@ -75,6 +76,8 @@ class Attention(nn.Module):
         sim = sim.astype(jnp.float32)
         if key_mask is not None:
             sim = jnp.where(key_mask[:, None, None, :], sim, jnp.finfo(jnp.float32).min)
+        if pair_mask is not None:
+            sim = jnp.where(pair_mask[None, None], sim, jnp.finfo(jnp.float32).min)
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, inner)
         return nn.Dense(self.query_dim, kernel_init=_XAVIER, dtype=self.dtype, name="to_out")(out)
@@ -101,10 +104,10 @@ class AttnBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, key_mask=None):
+    def __call__(self, x, key_mask=None, pair_mask=None):
         x = x + Attention(
             self.hidden_size, num_heads=self.num_heads, dtype=self.dtype, name="attn"
-        )(_layer_norm_noaffine(x).astype(x.dtype), key_mask=key_mask)
+        )(_layer_norm_noaffine(x).astype(x.dtype), key_mask=key_mask, pair_mask=pair_mask)
         x = x + Mlp(
             int(self.hidden_size * self.mlp_ratio), self.hidden_size, dtype=self.dtype, name="mlp"
         )(_layer_norm_noaffine(x).astype(x.dtype))
@@ -152,6 +155,14 @@ class EfficientUpdateFormer(nn.Module):
     add_space_attn: bool = True
     num_virtual_tracks: int = 64
     dtype: object = None
+    # Sequence packing for the time attention: run G track-sequences of T
+    # tokens as ONE attention of length G*T with a block-diagonal pair mask.
+    # Numerically identical, but the score matrix goes from [T, T] (T=12 —
+    # 90% lane padding on 128-lane TPU registers, measured 0.18 ms per
+    # block for 26 MFLOPs) to [G*T, G*T] with near-full lanes. 0 disables.
+    # G=8 measured best on v5e (full module 2.40 -> 1.78 ms at the
+    # flagship's window shapes; G=16/32 within noise of 8).
+    time_pack: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array, track_mask: Optional[jax.Array] = None) -> jax.Array:
@@ -195,10 +206,23 @@ class EfficientUpdateFormer(nn.Module):
             # [B, N] -> [B*T, N] matching the (B T) flattening below.
             key_mask_bt = jnp.repeat(track_mask, t, axis=0)
 
+        # Block-diagonal pair mask for packed time attention (see time_pack).
+        g = self.time_pack
+        rows = b * n_tot
+        if g > 1:
+            pad_rows = (-rows) % g
+            diag = jnp.kron(jnp.eye(g, dtype=jnp.int8), jnp.ones((t, t), jnp.int8)) > 0
+
         j = 0
         for i in range(self.time_depth):
-            tt = tokens.reshape(b * n_tot, t, self.hidden_size)
-            tt = time_blocks[i](tt)
+            tt = tokens.reshape(rows, t, self.hidden_size)
+            if g > 1:
+                ttp = jnp.pad(tt, ((0, pad_rows), (0, 0), (0, 0)))
+                ttp = ttp.reshape((rows + pad_rows) // g, g * t, self.hidden_size)
+                ttp = time_blocks[i](ttp, pair_mask=diag)
+                tt = ttp.reshape(rows + pad_rows, t, self.hidden_size)[:rows]
+            else:
+                tt = time_blocks[i](tt)
             tokens = tt.reshape(b, n_tot, t, self.hidden_size)
 
             if self.add_space_attn and i % interval == 0:

@@ -56,6 +56,7 @@ def corr_sample(
     add_neighbor_offset: bool = True,
     add_neighbor_xyz: bool = False,
     backend: str = "auto",
+    compute_dtype=None,  # bf16 halves the Pallas kernel's stream traffic
 ) -> jax.Array:
     """Correlation features for each track point, given precomputed kNN.
 
@@ -76,7 +77,9 @@ def corr_sample(
         from mvtracker_tpu.ops.corr_pallas import corr_select_pallas
 
         c = cloud_fvec.shape[-1]
-        corr = corr_select_pallas(cloud_fvec, targets, neighbor_idx)
+        corr = corr_select_pallas(
+            cloud_fvec, targets, neighbor_idx, None, 2048, False, compute_dtype
+        )
         out = (corr[..., None] / jnp.sqrt(float(c))).astype(targets.dtype)
     else:
         neighbor_fvec = gather_neighbors(cloud_fvec, neighbor_idx)

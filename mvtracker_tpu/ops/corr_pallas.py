@@ -62,7 +62,7 @@ def _corr_kernel(t_ref, f_ref, i_ref, out_ref, *, k: int, ref_tile: int):
     out_ref[0] = acc + jnp.concatenate(updates + [fill], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def corr_select_pallas(
     cloud_fvec: jax.Array,  # [B, P, C]
     targets: jax.Array,  # [B, N, C]
@@ -70,6 +70,7 @@ def corr_select_pallas(
     k: int | None = None,
     ref_tile: int = 2048,
     interpret: bool = False,
+    compute_dtype=None,  # stream/matmul dtype; None = fp32
 ) -> jax.Array:
     """Correlations <target_n, fvec_{idx[n,k]}> -> [B, N, K] fp32 (unscaled).
 
@@ -77,20 +78,28 @@ def corr_select_pallas(
     select, see module docstring); the backward IS naturally a small
     gather/scatter — d_target = sum_k g * fvec[idx], d_fvec = scatter-add of
     g * target — and runs as plain XLA.
+
+    `compute_dtype=jnp.bfloat16` halves the kernel's HBM traffic and runs
+    the correlation matmul on the bf16 MXU (fp32 accumulate) — this matches
+    the reference, which computes correlations under bf16 autocast
+    (`configs/model/mvtracker.yaml:57`).
     """
-    return _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret)
+    return _corr_select_fwd_impl(
+        cloud_fvec, targets, idx, k, ref_tile, interpret, compute_dtype
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "interpret"))
-def _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret):
+@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "interpret", "compute_dtype"))
+def _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret, compute_dtype=None):
     b, p, c = cloud_fvec.shape
     n = targets.shape[1]
     if k is None:
         k = idx.shape[2]
     k_pad = max(k, 128)
+    dt = jnp.float32 if compute_dtype is None else compute_dtype
 
     rpad = (-p) % ref_tile
-    fvec_p = jnp.pad(cloud_fvec.astype(jnp.float32), ((0, 0), (0, rpad), (0, 0)))
+    fvec_p = jnp.pad(cloud_fvec.astype(dt), ((0, 0), (0, rpad), (0, 0)))
     # Padded rows correlate but are never selected (indices < P).
     idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, 0), (0, k_pad - k)), constant_values=-1)
 
@@ -110,16 +119,18 @@ def _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, k_pad), jnp.float32),
         interpret=interpret,
-    )(targets.astype(jnp.float32), fvec_p, idx_p)
+    )(targets.astype(dt), fvec_p, idx_p)
     return out[:, :, :k]
 
 
-def _corr_select_fwd(cloud_fvec, targets, idx, k, ref_tile, interpret):
-    out = _corr_select_fwd_impl(cloud_fvec, targets, idx, k, ref_tile, interpret)
+def _corr_select_fwd(cloud_fvec, targets, idx, k, ref_tile, interpret, compute_dtype):
+    out = _corr_select_fwd_impl(
+        cloud_fvec, targets, idx, k, ref_tile, interpret, compute_dtype
+    )
     return out, (cloud_fvec, targets, idx)
 
 
-def _corr_select_bwd(k, ref_tile, interpret, residuals, g):
+def _corr_select_bwd(k, ref_tile, interpret, compute_dtype, residuals, g):
     cloud_fvec, targets, idx = residuals
     b, p, c = cloud_fvec.shape
     n, kk = idx.shape[1], idx.shape[2]

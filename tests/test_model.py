@@ -184,3 +184,21 @@ def test_remat_grad(rng):
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
     g = jax.grad(lambda p: loss(m2, p))(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_time_pack_attention_equivalence():
+    """Packed block-diagonal time attention (time_pack>1) must be
+    numerically equivalent to per-sequence attention (time_pack=0)."""
+    from mvtracker_tpu.models.updateformer import EfficientUpdateFormer
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 37, 12, 100)).astype(np.float32))
+    mask = jnp.asarray(rng.random(37)[None] > 0.3)
+    kw = dict(space_depth=2, time_depth=2, input_dim=100, hidden_size=64,
+              num_heads=4, output_dim=35, num_virtual_tracks=8)
+    uf0 = EfficientUpdateFormer(time_pack=0, **kw)
+    uf1 = EfficientUpdateFormer(time_pack=16, **kw)
+    p = uf0.init(jax.random.PRNGKey(0), x, track_mask=mask)
+    y0 = uf0.apply(p, x, track_mask=mask)
+    y1 = uf1.apply(p, x, track_mask=mask)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
