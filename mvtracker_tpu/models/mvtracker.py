@@ -370,12 +370,49 @@ class MVTracker(nn.Module):
         `mvtracker.py:800-846`). Returns [S, N, LRR].
         """
         s, n, _ = coords.shape
-        fcorrs = []
-        for lvl in range(self.corr_n_levels):
-            xyz_l, fvec_l = context_w[lvl]
-            dists, idx = knn_ops.knn(
-                xyz_l, coords, self.corr_neighbors, backend=self.knn_backend
+        levels = list(range(self.corr_n_levels))
+
+        # kNN per pyramid level. Small levels (coarse clouds) are
+        # launch-overhead-bound as individual kernel calls (~0.4 ms each on
+        # v5e regardless of work), so levels with <= 1024 points are padded
+        # to a common size and batched into ONE call; padding points sit at
+        # 1e9 and can never enter a top-k (every level has >= k real
+        # points). Results are bitwise identical to per-level calls.
+        small = [l for l in levels if context_w[l][0].shape[1] <= 1024]
+        knn_idx: dict[int, jax.Array] = {}
+        knn_dists: dict[int, jax.Array] = {}
+        for lvl in levels:
+            if lvl in small and len(small) > 1:
+                continue
+            d, i = knn_ops.knn(
+                context_w[lvl][0], coords, self.corr_neighbors, backend=self.knn_backend
             )
+            knn_dists[lvl], knn_idx[lvl] = d, i
+        if len(small) > 1:
+            pmax = max(context_w[l][0].shape[1] for l in small)
+            refs = jnp.concatenate(
+                [
+                    jnp.pad(
+                        context_w[l][0],
+                        ((0, 0), (0, pmax - context_w[l][0].shape[1]), (0, 0)),
+                        constant_values=1e9,
+                    )
+                    for l in small
+                ],
+                axis=0,
+            )  # [len(small)*S, pmax, 3]
+            qs = jnp.concatenate([coords] * len(small), axis=0)
+            d_all, i_all = knn_ops.knn(
+                refs, qs, self.corr_neighbors, backend=self.knn_backend
+            )
+            for j, l in enumerate(small):
+                knn_dists[l] = d_all[j * s : (j + 1) * s]
+                knn_idx[l] = i_all[j * s : (j + 1) * s]
+
+        fcorrs = []
+        for lvl in levels:
+            xyz_l, fvec_l = context_w[lvl]
+            dists, idx = knn_dists[lvl], knn_idx[lvl]
             if self.collect_stats:
                 # Mean neighbor distance per k-rank, aggregated over the
                 # window's (frame, track) grid (reference `mvtracker.py:

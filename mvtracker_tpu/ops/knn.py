@@ -538,8 +538,13 @@ def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     if backend == "pallas":
         # Large clouds: the fused packed-key kernel (internal ref loop, one
         # launch per query tile) wins. Small clouds are launch-bound, where
-        # the simpler v1 kernel measures fastest.
-        return knn_pallas_fused(ref, query, k)
+        # the simpler v1 kernel measures fastest. The chunk adapts downward
+        # for small clouds — the kernel pads the ref set to a chunk
+        # multiple, so a 4096 chunk would stream 4x dead width for a
+        # 1024-point pyramid level.
+        n = ref.shape[1]
+        chunk = 4096 if n >= 4096 else max(512, 1 << (n - 1).bit_length())
+        return knn_pallas_fused(ref, query, k, chunk=chunk)
     if backend == "pallas_packed":
         return knn_pallas_packed(ref, query, k)
     if backend == "reference":
