@@ -267,6 +267,13 @@ class MVTracker(nn.Module):
                 # Per-frame serialized-attention refinement of the fused
                 # cloud (PTv3-equivalent backbone).
                 fvec = jax.vmap(self.cloud_backbone)(xyz, fvec)
+            if self.compute_dtype == "bfloat16":
+                # Cloud features stream through the correlation kernel in
+                # bf16 anyway (reference computes correlation under bf16
+                # autocast); storing them bf16 halves the per-window gather
+                # traffic and avoids re-casting inside the refine scan.
+                # Geometry (xyz) stays fp32.
+                fvec = fvec.astype(jnp.bfloat16)
             clouds.append((xyz, fvec))  # [T, P_l, 3], [T, P_l, C]
         return clouds
 
@@ -317,7 +324,9 @@ class MVTracker(nn.Module):
         times_embed = emb.sincos_1d(t_dim, times)[:, :d_in]  # [S, d_in]
 
         coords0 = coords_init
-        ffeats0 = jnp.broadcast_to(feat_init[None], (s, n, c))
+        # fp32 carry regardless of the cloud-feature storage dtype (the
+        # scan carry dtype must be stable across iterations).
+        ffeats0 = jnp.broadcast_to(feat_init[None], (s, n, c)).astype(jnp.float32)
         mask_and_vis = jnp.stack([track_mask, vis_init], axis=-1)  # [S, N, 2]
 
         def refine_step(mdl, carry, _):
