@@ -37,13 +37,13 @@ def main(argv=None):
     if os.environ.get("MVTRACKER_DISTRIBUTED", "0") == "1":
         jax.distributed.initialize()
 
-    from mvtracker_tpu.config import build_dataset, build_model, load_config
+    from mvtracker_tpu.config import build_dataset, build_model, format_config_tree, load_config
     from mvtracker_tpu.datasets.loader import PrefetchLoader
     from mvtracker_tpu.parallel import mesh as mesh_lib
     from mvtracker_tpu.training.train import Trainer
 
     cfg = load_config(args.config, args.overrides)
-    logging.info("config: %s", cfg)
+    logging.info("resolved config:\n%s", format_config_tree(cfg))
 
     model = build_model(cfg.model)
     dataset = build_dataset(cfg.data)

@@ -122,6 +122,23 @@ def load_config(
     return cfg
 
 
+def format_config_tree(cfg: Config) -> str:
+    """Plain-text config tree (the reference pretty-prints its resolved
+    Hydra config at startup, `cli/utils/rich_utils.py:18`)."""
+    lines = ["config"]
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            lines.append(f"├── {f.name}")
+            subfields = dataclasses.fields(v)
+            for i, sf in enumerate(subfields):
+                branch = "└──" if i == len(subfields) - 1 else "├──"
+                lines.append(f"│   {branch} {sf.name}: {getattr(v, sf.name)}")
+        else:
+            lines.append(f"├── {f.name}: {v}")
+    return "\n".join(lines)
+
+
 def build_model(mc: ModelConfig):
     """Model-family dispatch (the reference's `configs/model/*.yaml` group)."""
     if mc.name == "copycat":

@@ -202,3 +202,4 @@ def test_time_pack_attention_equivalence():
     y0 = uf0.apply(p, x, track_mask=mask)
     y1 = uf1.apply(p, x, track_mask=mask)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
