@@ -128,8 +128,8 @@ def main(argv=None):
         frames = render_multiview_mosaic(
             rgbs.astype(np.uint8), traj, intrs, extrs, visibility=vis > 0.5
         )
-        save_video(frames, args.mp4)
-        logging.info("wrote %s", args.mp4)
+        written = save_video(frames, args.mp4)
+        logging.info("wrote %s", written)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,118 @@ def cmd_render(args):
     logging.info("wrote %s", out)
 
 
+def cmd_track(args):
+    """Full-episode 3D tracking (BASELINE config 3): cameras + decoded depth
+    video + (optionally mask-guided) query points -> iterative refinement.
+
+    Queries: ``--queries gripper`` uses the episode's FK contact-surface
+    tracks' start positions; ``--queries depth`` samples from confident
+    depth via the evaluator's cylinder-crop+kmeans sampler, optionally
+    restricted by precomputed SAM masks (``masks.npz`` with per-camera
+    boolean arrays, reference `object_detection.py` output).
+    """
+    import numpy as np
+
+    from mvtracker_tpu.datasets.droid import load_droid_episode
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    dp = load_droid_episode(args.episode, max_frames=args.max_frames)
+    logging.info(
+        "episode %s: %d cams x %d frames %sx%s",
+        dp.seq_name, dp.video.shape[0], dp.video.shape[1],
+        dp.video.shape[2], dp.video.shape[3],
+    )
+
+    if args.queries == "gripper":
+        queries = dp.query_points_3d
+    else:
+        from mvtracker_tpu.evaluation.query_sampling import (
+            SamplingSpec,
+            sample_queries_from_depth,
+        )
+
+        conf = None
+        mask_path = os.path.join(args.episode, "masks.npz")
+        if os.path.exists(mask_path):
+            with np.load(mask_path) as z:
+                # Per-camera masks [T, H, W] or [H, W]; mask-guided queries
+                # sample only masked pixels (conf-threshold mechanism).
+                masks = []
+                for vi in range(dp.video.shape[0]):
+                    key = sorted(z.files)[vi % len(z.files)]
+                    m = np.asarray(z[key], np.float32)
+                    if m.ndim == 2:
+                        m = np.broadcast_to(m, dp.videodepth.shape[1:])
+                    masks.append(m)
+                conf = np.stack(masks)
+            logging.info("mask-guided query sampling from %s", mask_path)
+        queries = sample_queries_from_depth(
+            dp.videodepth, dp.intrs, dp.extrs,
+            [SamplingSpec(frame=0, count=args.num_queries)],
+            depth_conf=conf, conf_threshold=0.5,
+        )
+
+    model = MVTracker(compute_dtype=args.dtype)
+    params = None
+    if args.checkpoint:
+        from mvtracker_tpu.cli.convert import load_converted
+
+        v = dp.video.shape[0]
+        hh, ww = args.interp_shape if args.interp_shape else (64, 64)
+        example = (
+            np.zeros((v, 2, hh, ww, 3), np.float32),
+            np.ones((v, 2, hh, ww), np.float32),
+            np.zeros((4, 4), np.float32),
+            dp.intrs[:, :2],
+            dp.extrs[:, :2],
+        )
+        params = load_converted(args.checkpoint, model, example, iters=1)
+    if params is None:
+        import jax
+
+        logging.warning("no checkpoint: random init (plumbing validation only)")
+        # Init traces on a tiny dummy at the inference resolution (params
+        # are shape-independent; the raw video may not be pyramid-divisible).
+        v = dp.video.shape[0]
+        hh, ww = args.interp_shape if args.interp_shape else (64, 64)
+        dummy = (
+            np.zeros((v, 2, hh, ww, 3), np.float32),
+            np.ones((v, 2, hh, ww), np.float32),
+            np.zeros((4, 4), np.float32),
+            dp.intrs[:, :2],
+            dp.extrs[:, :2],
+        )
+        params = jax.jit(lambda k: model.init(k, *dummy, iters=1))(jax.random.PRNGKey(0))
+
+    pred = EvaluationPredictor(
+        model, params,
+        interp_shape=tuple(args.interp_shape) if args.interp_shape else None,
+        grid_size=args.grid_size, n_iters=args.iters,
+    )
+    out = pred(dp.video, dp.videodepth, queries, dp.intrs, dp.extrs)
+    np.savez_compressed(
+        args.out,
+        traj=np.asarray(out["traj"]),
+        vis=np.asarray(out["vis"]),
+        queries=np.asarray(queries),
+    )
+    logging.info("wrote %s (traj %s)", args.out, np.asarray(out["traj"]).shape)
+
+    if args.overlay:
+        from mvtracker_tpu.utils import geometry as geo
+        from mvtracker_tpu.viz.mp4 import render_multiview_mosaic, save_video
+
+        frames = render_multiview_mosaic(
+            dp.video.astype(np.uint8),
+            np.asarray(out["traj"]),
+            dp.intrs, dp.extrs,
+            visibility=np.asarray(out["vis"]) > 0.5,
+        )
+        written = save_video(frames, args.overlay)
+        logging.info("wrote %s", written)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     parser = argparse.ArgumentParser()
@@ -103,6 +215,20 @@ def main(argv=None):
     r.add_argument("--width", type=int, default=320)
     r.add_argument("--height", type=int, default=240)
     r.set_defaults(fn=cmd_render)
+
+    tk = sub.add_parser("track")
+    tk.add_argument("--episode", required=True, help="processed episode dir")
+    tk.add_argument("--out", default="tracks_pred.npz")
+    tk.add_argument("--overlay", default=None, help="optional overlay video path")
+    tk.add_argument("--queries", choices=["gripper", "depth"], default="gripper")
+    tk.add_argument("--num_queries", type=int, default=256)
+    tk.add_argument("--checkpoint", default=None)
+    tk.add_argument("--iters", type=int, default=6)
+    tk.add_argument("--grid_size", type=int, default=5)
+    tk.add_argument("--interp_shape", type=int, nargs=2, default=None)
+    tk.add_argument("--max_frames", type=int, default=None)
+    tk.add_argument("--dtype", default="bfloat16")
+    tk.set_defaults(fn=cmd_track)
 
     args = parser.parse_args(argv)
     args.fn(args)
