@@ -180,6 +180,12 @@ def build_dataset(dc: DataConfig):
             num_tracks=dc.num_tracks,
             seed=dc.seed,
         )
+    if dc.dataset == "droid":
+        # Processed DROID episodes (BASELINE config 4: training on a DROID
+        # subset); see `datasets/droid.py` for the artifact layout.
+        from mvtracker_tpu.datasets.droid import DroidEpisodeDataset
+
+        return DroidEpisodeDataset(dc.root, max_frames=dc.n_frames or None)
     if "-multiview" in dc.dataset:
         # Dataset-name mini-DSL (reference `from_name` factories): e.g.
         # "kubric-multiview-v3-views0_1_2_3-noise2cm", "panoptic-multiview…".

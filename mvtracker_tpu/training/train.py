@@ -65,6 +65,11 @@ class TrainConfig:
     # `configs/train.yaml:106-110`): dump all stacks if a step makes no
     # progress for this long. 0 disables.
     watchdog_timeout_s: float = 600.0
+    # Optional Weights & Biases mirroring of the TensorBoard stream
+    # (reference `cli/train.py:373-381` with sync_tensorboard=True).
+    # Gracefully disabled when wandb is not installed / offline.
+    wandb: bool = False
+    wandb_project: str = "mvtracker_tpu"
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -192,6 +197,19 @@ class Trainer:
         os.makedirs(cfg.exp_dir, exist_ok=True)
         if cfg.watchdog_timeout_s > 0:
             obs.install_hang_watchdog(cfg.watchdog_timeout_s)
+        wandb_run = None
+        if cfg.wandb:
+            try:
+                import wandb
+
+                wandb_run = wandb.init(
+                    project=cfg.wandb_project,
+                    dir=cfg.exp_dir,
+                    config=dataclasses.asdict(cfg),
+                    sync_tensorboard=True,
+                )
+            except Exception:
+                logging.warning("wandb requested but unavailable; continuing without")
 
         if state is None:
             first = next(data_iter)
@@ -281,6 +299,11 @@ class Trainer:
         finally:
             if cfg.watchdog_timeout_s > 0:
                 obs.cancel_hang_watchdog()
+            if wandb_run is not None:  # reference `maybe_close_wandb`
+                try:
+                    wandb_run.finish()
+                except Exception:
+                    pass
 
         if self._stop_requested:
             self.save(state, step)

@@ -161,3 +161,15 @@ def save_video(frames: np.ndarray, path: str, fps: int = 12):
     except Exception:
         np.savez_compressed(path + ".npz", frames=frames)
         return path + ".npz"
+
+
+def log_video_to_tensorboard(writer, tag: str, frames: np.ndarray, step: int, fps: int = 12):
+    """Log [T, H, W, 3] uint8 frames as a TensorBoard video (the reference's
+    visualizer logs eval videos to TB, `visualizer_mp4.py` save_video with
+    a writer). No-op if torch is unavailable."""
+    try:
+        import torch
+    except Exception:  # pragma: no cover
+        return
+    vid = torch.from_numpy(np.ascontiguousarray(frames)).permute(0, 3, 1, 2)[None]
+    writer.add_video(tag, vid, global_step=step, fps=fps)

@@ -1,5 +1,7 @@
 """MP4 visualizer tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -48,3 +50,15 @@ def test_save_video_fallback(tmp_path, rng):
     import os
 
     assert os.path.exists(out)
+
+
+def test_log_video_to_tensorboard(tmp_path):
+    from torch.utils.tensorboard import SummaryWriter
+
+    from mvtracker_tpu.viz.mp4 import log_video_to_tensorboard
+
+    frames = np.zeros((3, 16, 16, 3), np.uint8)
+    w = SummaryWriter(str(tmp_path))
+    log_video_to_tensorboard(w, "eval/video", frames, step=1)
+    w.close()
+    assert any(f.startswith("events") for f in os.listdir(tmp_path))
