@@ -589,3 +589,51 @@ def knn_sharded(
 
     neg_d, sel = jax.lax.top_k(-d_cat, k)
     return -neg_d, jnp.take_along_axis(i_cat, sel, axis=-1)
+
+
+def knn_sharded_ring(
+    ref_local: jax.Array,
+    query: jax.Array,
+    k: int,
+    axis_name: str,
+    backend: str = "auto",
+):
+    """Ring-scheduled distributed kNN over a device-sharded cloud.
+
+    The alternative collective schedule to :func:`knn_sharded` (SURVEY §2.6:
+    "all-gather of the fused cloud ... or collective-permute ring"):
+    instead of all-gathering every shard's k candidates at once, cloud
+    shards rotate around the mesh axis with `ppermute`; each device folds
+    the visiting shard's local top-k into a running best. Per-step
+    interconnect traffic is one cloud shard (N/D * 12 B) on a neighbor link,
+    so the ring pipelines compute against ICI transfers and never forms the
+    [D, B, M, k] gather buffer — preferable when M*k (query candidates)
+    outweighs N/D (shard size); the all-gather merge wins in the opposite
+    regime.
+
+    Inside `shard_map` over `axis_name`: `ref_local` [B, N/D, 3] sharded,
+    `query` [B, M, 3] replicated. Returns (dists, GLOBAL indices) [B, M, k].
+    """
+    d = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = ref_local.shape[1]
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    b, m, _ = query.shape
+    best_d = jnp.full((b, m, k), _BIG, jnp.float32)
+    best_i = jnp.zeros((b, m, k), jnp.int32)
+    shard = ref_local
+
+    for step in range(d):
+        owner = (my - step) % d  # which shard this device holds right now
+        d_loc, i_loc = knn(shard, query, k, backend=backend)
+        i_glob = i_loc + owner * n_local
+        d_cat = jnp.concatenate([best_d, d_loc], axis=-1)
+        i_cat = jnp.concatenate([best_i, i_glob], axis=-1)
+        neg_d, sel = jax.lax.top_k(-d_cat, k)
+        best_d = -neg_d
+        best_i = jnp.take_along_axis(i_cat, sel, axis=-1)
+        if step + 1 < d:
+            shard = jax.lax.ppermute(shard, axis_name, perm)
+
+    return best_d, best_i

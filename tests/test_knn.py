@@ -119,3 +119,34 @@ def test_knn_sharded_matches_global(rng):
     )
     gathered = np.take_along_axis(dist_full, np.asarray(i_sh), axis=-1)
     np.testing.assert_allclose(np.sort(gathered), np.sort(np.asarray(d_ref)), atol=1e-4)
+
+
+def test_knn_sharded_ring_matches_global(rng):
+    """Ring-permute distributed kNN == global kNN (same contract as the
+    all-gather merge variant, different collective schedule)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    b, n, m, k = 1, 512, 40, 8
+    ref = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    query = jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32))
+
+    devices = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devices, ("cloud",))
+
+    f = shard_map(
+        lambda r, q: knn_mod.knn.knn_sharded_ring(r, q, k, "cloud", backend="xla"),
+        mesh=mesh,
+        in_specs=(P(None, "cloud", None), P(None, None, None)),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        check_vma=False,
+    )
+    d_sh, i_sh = f(ref, query)
+    d_ref, i_ref = knn_mod.knn.knn_reference(ref, query, k)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-4)
+    dist_full = np.linalg.norm(
+        np.asarray(query)[:, :, None] - np.asarray(ref)[:, None], axis=-1
+    )
+    gathered = np.take_along_axis(dist_full, np.asarray(i_sh), axis=-1)
+    np.testing.assert_allclose(np.sort(gathered), np.sort(np.asarray(d_ref)), atol=1e-4)
