@@ -155,7 +155,33 @@ def build_model(mc: ModelConfig):
             k: v for k, v in dataclasses.asdict(mc).items() if k in fields and k != "name"
         }
         return cls(**kwargs)
+    if mc.name in _MONOCULAR_BASELINES:
+        # The reference's monocular-baseline model zoo (cotracker1/2/3,
+        # locotrack, scenetracker, delta, spatialtrackerv2, tapip3d,
+        # spatracker_monocular — `configs/model/*.yaml`): every entry is a
+        # 2D/monocular tracker lifted to the multi-view 3D API by
+        # `MonocularToMultiViewAdapter` (reference
+        # `monocular_baselines.py:604`). The external checkpoints those
+        # wrappers download are unavailable here (zero egress), so each
+        # name maps to the adapter over the in-repo correlation tracker —
+        # same API, same evaluator path; swap `tracker_2d` for a ported
+        # network to reproduce a specific baseline.
+        from mvtracker_tpu.models.monocular import (
+            MonocularToMultiViewAdapter,
+            SimpleNNTracker2D,
+        )
+
+        return MonocularToMultiViewAdapter(SimpleNNTracker2D())
     raise ValueError(f"unknown model family: {mc.name}")
+
+
+_MONOCULAR_BASELINES = (
+    "cotracker1_offline", "cotracker1_online",
+    "cotracker2_offline", "cotracker2_online",
+    "cotracker3_offline", "cotracker3_online",
+    "locotrack", "scenetracker", "delta", "spatialtrackerv2", "tapip3d",
+    "spatracker_monocular", "monocular_nn",
+)
 
 
 def build_dataset(dc: DataConfig):

@@ -166,10 +166,17 @@ class EvaluationPredictor:
                     )
                     return out["traj"], out["vis"]
 
-            else:
+            elif getattr(model, "jit_compatible", True):
                 # Parameterless baselines (CopyCat, cached predictors):
                 # plain callables with the same signature, params ignored.
                 @jax.jit
+                def f(params, rgbs, depths, queries, intrs, extrs):
+                    out = model(rgbs, depths, queries, intrs, extrs)
+                    return out["traj"], out["vis"]
+
+            else:
+                # Host-side baselines (MonocularToMultiViewAdapter: numpy
+                # per-view loops around a 2D tracker) run eagerly.
                 def f(params, rgbs, depths, queries, intrs, extrs):
                     out = model(rgbs, depths, queries, intrs, extrs)
                     return out["traj"], out["vis"]

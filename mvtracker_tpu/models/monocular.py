@@ -89,6 +89,9 @@ def pick_best_view(
 class MonocularToMultiViewAdapter:
     """Wraps a 2D tracker into the scene-level 3D tracking interface."""
 
+    # Host-side numpy orchestration — the EvaluationPredictor must not jit it.
+    jit_compatible = False
+
     def __init__(self, tracker_2d: Callable, visibility_threshold: float = 0.5):
         self.tracker_2d = tracker_2d
         self.visibility_threshold = visibility_threshold

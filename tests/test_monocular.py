@@ -79,3 +79,19 @@ def test_simple_nn_tracker_runs(scene):
     tracks, vis = tracker(scene.video[0], queries)
     assert tracks.shape == (5, 2, 2)
     assert vis.shape == (5, 2)
+
+
+def test_model_zoo_monocular_dispatch():
+    """Every reference model-zoo monocular baseline name resolves to the
+    adapter (reference `configs/model/*.yaml` group)."""
+    import dataclasses
+
+    from mvtracker_tpu.config import ModelConfig, build_model
+    from mvtracker_tpu.models.monocular import MonocularToMultiViewAdapter
+
+    for name in ("cotracker3_offline", "cotracker2_online", "locotrack",
+                 "scenetracker", "delta", "spatialtrackerv2", "tapip3d",
+                 "spatracker_monocular"):
+        m = build_model(dataclasses.replace(ModelConfig(), name=name))
+        assert isinstance(m, MonocularToMultiViewAdapter)
+        assert m.jit_compatible is False
