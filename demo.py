@@ -57,6 +57,17 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=6)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--grid_size", type=int, default=0, help="support grid size")
+    parser.add_argument(
+        "--depth_source", default="gt", choices=["gt", "est", "fusion"],
+        help="gt: sensor depth; est: first --depth_est replaces it; fusion: "
+        "residual-weighted blend of sensor + all estimates (reference "
+        "`--depth_estimator`/`_estimate_fused_depths`, demo.py:56-122,310-410)",
+    )
+    parser.add_argument(
+        "--depth_est", nargs="*", default=[],
+        help="NPZ files with estimated depth (key 'depth' [V,T,H,W], optional "
+        "'conf') from any external estimator (DUSt3R/VGGT/...)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -82,6 +93,27 @@ def main(argv=None):
     if args.max_frames:
         rgbs, depths = rgbs[:, : args.max_frames], depths[:, : args.max_frames]
         intrs, extrs = intrs[:, : args.max_frames], extrs[:, : args.max_frames]
+
+    if args.depth_source != "gt":
+        estimates = []
+        for path in args.depth_est:
+            with np.load(path) as z:
+                d = np.asarray(z["depth"], np.float32)[:, : rgbs.shape[1]]
+                c = np.asarray(z["conf"], np.float32)[:, : rgbs.shape[1]] if "conf" in z else None
+            estimates.append((d, c))
+        if not estimates:
+            parser.error(f"--depth_source {args.depth_source} needs --depth_est files")
+        if args.depth_source == "est":
+            depths = estimates[0][0]
+            logging.info("replaced sensor depth with %s", args.depth_est[0])
+        else:
+            from mvtracker_tpu.utils.depth_fusion import fuse_depths
+
+            depths, fused_conf = fuse_depths(depths, estimates, rgbs)
+            logging.info(
+                "fused sensor depth with %d estimate(s); mean conf %.2f",
+                len(estimates), float(fused_conf.mean()),
+            )
 
     model = MVTracker()
     params = None
