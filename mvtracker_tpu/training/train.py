@@ -70,6 +70,13 @@ class TrainConfig:
     # Gracefully disabled when wandb is not installed / offline.
     wandb: bool = False
     wandb_project: str = "mvtracker_tpu"
+    # jax.profiler trace window: capture a device/HLO timeline trace over
+    # `profile_n_steps` steps starting at `profile_start_step` into
+    # <exp_dir>/profile (TensorBoard profile plugin). -1 disables. The
+    # reference has no profiler at all (SURVEY §5); this is the TPU-native
+    # upgrade over its manual phase timing.
+    profile_start_step: int = -1
+    profile_n_steps: int = 3
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -226,8 +233,17 @@ class Trainer:
         total = max_steps if max_steps is not None else cfg.total_steps
         data_times, step_times = [], []
         step = start_step
+        profiler = None
+        if cfg.profile_start_step >= 0:
+            profiler = obs.ProfilerTraceWindow(
+                os.path.join(cfg.exp_dir, "profile"),
+                start=cfg.profile_start_step,
+                n_steps=cfg.profile_n_steps,
+            )
         try:
             while step < total and not self._stop_requested:
+                if profiler is not None:
+                    profiler.step(step)
                 t0 = time.perf_counter()
                 # Static-pretrain phase (reference `cli/train.py:501-536`).
                 use_static = (
@@ -297,6 +313,8 @@ class Trainer:
                 logging.exception("failed to save crash artifacts")
             raise
         finally:
+            if profiler is not None:
+                profiler.close()
             if cfg.watchdog_timeout_s > 0:
                 obs.cancel_hang_watchdog()
             if wandb_run is not None:  # reference `maybe_close_wandb`

@@ -82,6 +82,45 @@ def cancel_hang_watchdog() -> None:
     faulthandler.cancel_dump_traceback_later()
 
 
+class ProfilerTraceWindow:
+    """Capture a `jax.profiler` trace over a step window.
+
+    The reference has no profiler integration at all (SURVEY §5: "No
+    torch.profiler/NVTX anywhere" — only manual phase timing); on TPU the
+    native equivalent is an XLA/TensorBoard trace, which records per-op
+    device timelines, HLO cost analysis, and host/device transfer gaps.
+
+    Call `step(i)` once per train step: tracing starts when `i == start`
+    and stops after `n_steps` steps (or on `close()`). View with
+    TensorBoard's profile plugin pointed at `log_dir`.
+    """
+
+    def __init__(self, log_dir: str, start: int, n_steps: int = 3):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop_at = start + n_steps
+        self._active = False
+
+    def step(self, i: int) -> None:
+        import jax
+
+        if not self._active and i == self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+            logging.info("profiler trace started at step %d -> %s", i, self.log_dir)
+        elif self._active and i >= self.stop_at:
+            jax.profiler.stop_trace()
+            self._active = False
+            logging.info("profiler trace written to %s", self.log_dir)
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def device_memory_stats() -> dict:
     """Per-device HBM usage in MB (the reference logs `gpustat` at
     `cli/train.py:236`; TPU equivalent is the runtime's memory_stats)."""

@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--views", type=int, default=2)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--focal", type=float, default=1.0)
+    parser.add_argument("--workers", type=int, default=2)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -63,14 +64,19 @@ def main():
         n_tracks=32, motion_speed=args.motion_speed, rotate_objects=args.rotate,
         valid_from_visibility=args.valid_vis, focal_factor=args.focal,
     )
+    # Caching only pays when scenes repeat (small datasets get memorized AND
+    # cached); a large n_scenes means every step sees a fresh scene and the
+    # cache would only grow unbounded (~2 MB/scene).
     train_ds = SyntheticSceneDataset(
-        n_scenes=args.train_scenes, cache=True, seed=0, randomize=True,
-        augment=args.augment, **kw
+        n_scenes=args.train_scenes, cache=args.train_scenes <= 1024, seed=0,
+        randomize=True, augment=args.augment, **kw
     )
     eval_ds = SyntheticSceneDataset(
         n_scenes=args.eval_scenes, cache=True, seed=777, randomize=True, **kw
     )
-    loader = PrefetchLoader(train_ds, batch_size=1, num_workers=2, shuffle=True)
+    loader = PrefetchLoader(
+        train_ds, batch_size=1, num_workers=args.workers, shuffle=True
+    )
 
     cfg = TrainConfig(
         total_steps=args.steps,

@@ -214,3 +214,36 @@ def test_prefetching_iter_yields_batches():
     b2 = next(it)
     assert b1["rgbs"].shape == b2["rgbs"].shape
     assert not np.allclose(b1["query_points"], b2["query_points"])
+
+
+def test_profiler_trace_window(tmp_path):
+    """ProfilerTraceWindow captures a jax.profiler trace over a step range
+    (SURVEY §5: the TPU-native upgrade over the reference's manual-only
+    phase timing)."""
+    import os
+
+    cfg = TrainConfig(
+        total_steps=4,
+        warmup_steps=0,
+        adaptive_iters=False,
+        train_iters=1,
+        save_ckpt_freq=1000,
+        eval_freq=10_000,
+        telemetry_freq=100,
+        exp_dir=str(tmp_path / "exp"),
+        schedule="const",
+        profile_start_step=1,
+        profile_n_steps=2,
+    )
+    trainer = Trainer(tiny_model(), cfg)
+    trainer.fit(iter(tiny_loader()), max_steps=4)
+
+    profile_dir = tmp_path / "exp" / "profile"
+    assert profile_dir.is_dir()
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(profile_dir)
+        for f in fs
+        if f.endswith((".xplane.pb", ".trace.json.gz", ".json.gz"))
+    ]
+    assert files, f"no trace artifacts under {profile_dir}"
