@@ -56,6 +56,12 @@ def main(argv=None):
     parser.add_argument("--ckpt_dir", default=None, help="experiment dir with checkpoints")
     parser.add_argument("--iters", type=int, default=6)
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument(
+        "--chunk_frames", type=int, default=None,
+        help="track long videos in fixed segments of this many frames with "
+        "boundary-position chaining (one reused compiled graph; bounds HBM "
+        "like the reference's --batch_size_frames chunking, demo.py:694-880)",
+    )
     parser.add_argument("--grid_size", type=int, default=0, help="support grid size")
     parser.add_argument(
         "--depth_source", default="gt", choices=["gt", "est", "fusion"],
@@ -93,6 +99,8 @@ def main(argv=None):
     if args.max_frames:
         rgbs, depths = rgbs[:, : args.max_frames], depths[:, : args.max_frames]
         intrs, extrs = intrs[:, : args.max_frames], extrs[:, : args.max_frames]
+        # Queries starting beyond the truncated clip would index past T.
+        query[:, 0] = np.minimum(query[:, 0], rgbs.shape[1] - 1)
 
     if args.depth_source != "gt":
         estimates = []
@@ -136,7 +144,8 @@ def main(argv=None):
         )
 
     predictor = EvaluationPredictor(
-        model, params, interp_shape=None, grid_size=args.grid_size, n_iters=args.iters
+        model, params, interp_shape=None, grid_size=args.grid_size, n_iters=args.iters,
+        chunk_frames=args.chunk_frames,
     )
     t0 = time.perf_counter()
     out = predictor(

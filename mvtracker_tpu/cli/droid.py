@@ -168,6 +168,7 @@ def cmd_track(args):
         model, params,
         interp_shape=tuple(args.interp_shape) if args.interp_shape else None,
         grid_size=args.grid_size, n_iters=args.iters,
+        chunk_frames=args.chunk_frames or None,
     )
     out = pred(dp.video, dp.videodepth, queries, dp.intrs, dp.extrs)
     np.savez_compressed(
@@ -227,6 +228,11 @@ def main(argv=None):
     tk.add_argument("--grid_size", type=int, default=5)
     tk.add_argument("--interp_shape", type=int, nargs=2, default=None)
     tk.add_argument("--max_frames", type=int, default=None)
+    tk.add_argument(
+        "--chunk_frames", type=int, default=120,
+        help="temporal segment length for long episodes (boundary-chained, "
+        "one reused compiled graph); 0 tracks the episode as one graph",
+    )
     tk.add_argument("--dtype", default="bfloat16")
     tk.set_defaults(fn=cmd_track)
 

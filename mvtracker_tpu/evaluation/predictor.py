@@ -122,6 +122,7 @@ class EvaluationPredictor:
         local_grid_size: int = 8,
         local_extent: int = 50,
         consume_model_stats: bool = False,
+        chunk_frames: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -140,6 +141,13 @@ class EvaluationPredictor:
         # holds the aggregated pandas table.
         self.consume_model_stats = consume_model_stats
         self.last_model_stats = None
+        # Temporal chunking for long videos (reference demo chunks frame
+        # batches, `demo.py:694-880`): segments of `chunk_frames` frames run
+        # through one reused compiled graph; track positions at the segment
+        # boundary seed the next segment's queries. Bounds HBM to O(V *
+        # chunk_frames) feature maps / fused clouds regardless of T. None
+        # disables (the whole video is one static graph).
+        self.chunk_frames = chunk_frames
         self._jitted = {}
 
     def _forward(self, rgbs, depths, queries, intrs, extrs):
@@ -236,7 +244,10 @@ class EvaluationPredictor:
         if support:
             queries = jnp.concatenate([query_points] + support, axis=0)
 
-        traj, vis = self._forward(rgbs, depths, queries, intrs, extrs)
+        if self.chunk_frames is not None and t > self.chunk_frames:
+            traj, vis = self._forward_chunked(rgbs, depths, queries, intrs, extrs)
+        else:
+            traj, vis = self._forward(rgbs, depths, queries, intrs, extrs)
         traj = traj[:, :n]
         vis = vis[:, :n]
         return {
@@ -244,6 +255,67 @@ class EvaluationPredictor:
             "vis": vis,
             "occluded": vis < self.visibility_threshold,
         }
+
+    def _forward_chunked(self, rgbs, depths, queries, intrs, extrs):
+        """Track a long video in fixed-size temporal segments.
+
+        TPU re-design of the reference demo's frame-batch chunking
+        (`demo.py:694-880`): every segment has the same static shape
+        ([V, chunk_frames, H, W, ...]), so ONE compiled graph is reused for
+        all of them (the last segment is edge-padded and its padding
+        dropped). Chaining mirrors the reference: a track already started
+        before a segment re-enters it as a query at relative t=0 placed at
+        its predicted position on the previous segment's final frame;
+        tracks starting inside the segment use their original query;
+        tracks starting later ride along as placeholders and are masked
+        out of the stitched result.
+        """
+        v, t = rgbs.shape[:2]
+        chunk = int(self.chunk_frames)
+        n = queries.shape[0]
+        # Host-side control flow: query start times drive segment assembly.
+        qt = np.asarray(queries[:, 0]).astype(np.int64)  # [N]
+        qxyz = queries[:, 1:]  # [N, 3] (device)
+
+        def seg_frames(x, t0, length):
+            sl = jax.lax.slice_in_dim(x, t0, t0 + length, axis=1)
+            if length < chunk:  # edge-pad the tail segment to the static shape
+                last = jax.lax.slice_in_dim(x, t0 + length - 1, t0 + length, axis=1)
+                reps = jnp.concatenate([last] * (chunk - length), axis=1)
+                sl = jnp.concatenate([sl, reps], axis=1)
+            return sl
+
+        cur_xyz = qxyz
+        traj_parts, vis_parts = [], []
+        for t0 in range(0, t, chunk):
+            length = min(chunk, t - t0)
+            started = qt < t0
+            inside = (qt >= t0) & (qt < t0 + chunk)
+            rel_t = np.where(started, 0, np.where(inside, qt - t0, chunk - 1))
+            seg_xyz = jnp.where(jnp.asarray(started)[:, None], cur_xyz, qxyz)
+            seg_queries = jnp.concatenate(
+                [jnp.asarray(rel_t, queries.dtype)[:, None], seg_xyz], axis=1
+            )
+            traj_s, vis_s = self._forward(
+                seg_frames(rgbs, t0, length),
+                seg_frames(depths, t0, length),
+                seg_queries,
+                seg_frames(intrs, t0, length),
+                seg_frames(extrs, t0, length),
+            )
+            traj_parts.append(traj_s[:length])
+            vis_parts.append(vis_s[:length])
+            # Boundary positions seed the next segment's chained queries.
+            cur_xyz = jnp.where(
+                jnp.asarray(qt < t0 + length)[:, None], traj_s[length - 1], cur_xyz
+            )
+
+        traj = jnp.concatenate(traj_parts, axis=0)  # [T, N, 3]
+        vis = jnp.concatenate(vis_parts, axis=0)  # [T, N]
+        # Re-mask with the TRUE start times (placeholder rows computed
+        # values inside their pre-start segments).
+        alive = jnp.arange(t)[:, None] >= jnp.asarray(qt)[None, :]
+        return jnp.where(alive[..., None], traj, 0.0), jnp.where(alive, vis, 0.0)
 
     def _local_grid_points(self, depths, intrs, extrs, query):
         """Local support grid around one query's projection in every view.

@@ -292,7 +292,12 @@ class MVTracker(nn.Module):
         queries = jnp.broadcast_to(query_xyz[None], (t, n, 3))
         _, idx = knn_ops.knn(cloud0_xyz, queries, 1, backend=self.knn_backend)
         fvec = corr_ops.gather_neighbors(cloud0_fvec, idx)[:, :, 0]  # [T, N, C]
-        return jnp.take_along_axis(fvec, query_t[None, :, None], axis=0)[0]  # [N, C]
+        # mode="clip": a query_t at/beyond T (video truncated below a
+        # query's start) must not inject take_along_axis's NaN fill — one
+        # NaN row would spread to every track through attention.
+        return jnp.take_along_axis(
+            fvec, query_t[None, :, None], axis=0, mode="clip"
+        )[0]  # [N, C]
 
     def forward_iteration(
         self,
@@ -422,6 +427,17 @@ class MVTracker(nn.Module):
         for lvl in levels:
             xyz_l, fvec_l = context_w[lvl]
             dists, idx = knn_dists[lvl], knn_idx[lvl]
+            p_l = xyz_l.shape[1]
+            if self.corr_neighbors > p_l:
+                # Coarse pyramid levels of small inputs can hold fewer
+                # points than corr_neighbors (e.g. 2 views at 64x64 ->
+                # 8-point level-3 cloud): neighbor ranks >= p_l are padding
+                # sentinels whose 1e9 coordinates would enter the offset
+                # features and blow up the transformer. Wrap the ranks so
+                # real neighbors repeat instead (static shapes preserved).
+                wrap = np.arange(self.corr_neighbors) % p_l
+                dists = dists[..., wrap]
+                idx = idx[..., wrap]
             if self.collect_stats:
                 # Mean neighbor distance per k-rank, aggregated over the
                 # window's (frame, track) grid (reference `mvtracker.py:

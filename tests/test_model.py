@@ -203,3 +203,23 @@ def test_time_pack_attention_equivalence():
     y1 = uf1.apply(p, x, track_mask=mask)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
 
+
+
+def test_small_cloud_fewer_points_than_neighbors(rng):
+    """Coarse pyramid levels with fewer points than corr_neighbors must not
+    pull in padding sentinels (regression: 2 views at 64x64 -> 8-point
+    level-3 cloud with k=16 exploded the transformer with 1e9 offsets)."""
+    import jax
+    import jax.numpy as jnp
+
+    v, t, h, w, n = 2, 9, 64, 64, 6
+    rgbs, depths, query, intrs, extrs = make_scene(rng, v, t, h, w, n)
+    model = MVTracker()  # full-size: 4 levels, 16 neighbors
+    args = (jnp.asarray(rgbs), jnp.asarray(depths), jnp.asarray(query),
+            jnp.asarray(intrs), jnp.asarray(extrs))
+    params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
+        jax.random.PRNGKey(0), *args
+    )
+    out = jax.jit(lambda p, *a: model.apply(p, *a, iters=1))(params, *args)
+    assert np.isfinite(np.asarray(out["traj"])).all()
+    assert np.isfinite(np.asarray(out["vis"])).all()
