@@ -13,9 +13,9 @@ Reference parity notes:
 - NPZ export keys match the reference's (`demo.py:1087-1120`):
   traj_e [T,N,3], vis_e [T,N], query_points [N,4].
 - The reference chunks inference over view/frame batches
-  (`demo.py:694-880`); chunking here is `--max_frames` truncation plus the
-  model's internal sliding window (device memory permitting, TPU prefers
-  one big static graph).
+  (`demo.py:694-880`); here `--chunk_frames` runs fixed-size temporal
+  segments through one reused compiled graph with boundary-frame chaining
+  (`EvaluationPredictor._forward_chunked`), and `--max_frames` truncates.
 """
 
 from __future__ import annotations
@@ -99,8 +99,14 @@ def main(argv=None):
     if args.max_frames:
         rgbs, depths = rgbs[:, : args.max_frames], depths[:, : args.max_frames]
         intrs, extrs = intrs[:, : args.max_frames], extrs[:, : args.max_frames]
-        # Queries starting beyond the truncated clip would index past T.
-        query[:, 0] = np.minimum(query[:, 0], rgbs.shape[1] - 1)
+        # Queries starting beyond the truncated clip have no frame where
+        # their stored xyz is valid — drop them rather than track phantoms.
+        keep = query[:, 0] < rgbs.shape[1]
+        if not keep.all():
+            logging.warning(
+                "dropping %d queries starting beyond --max_frames", (~keep).sum()
+            )
+            query = query[keep]
 
     if args.depth_source != "gt":
         estimates = []
@@ -137,10 +143,16 @@ def main(argv=None):
             logging.info("loaded checkpoint step %d", latest)
     if params is None:
         logging.warning("no checkpoint: using random init (demo plumbing only)")
+        # Params are shape-independent: init on a short slice so a long
+        # video doesn't compile/allocate a whole-video graph just for init.
+        ti = min(rgbs.shape[1], 8)
+        q_init = query.copy()
+        q_init[:, 0] = np.minimum(q_init[:, 0], ti - 1)
         params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
             jax.random.PRNGKey(0),
-            jnp.asarray(rgbs), jnp.asarray(depths), jnp.asarray(query),
-            jnp.asarray(intrs), jnp.asarray(extrs),
+            jnp.asarray(rgbs[:, :ti]), jnp.asarray(depths[:, :ti]),
+            jnp.asarray(q_init),
+            jnp.asarray(intrs[:, :ti]), jnp.asarray(extrs[:, :ti]),
         )
 
     predictor = EvaluationPredictor(

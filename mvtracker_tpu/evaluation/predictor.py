@@ -143,11 +143,14 @@ class EvaluationPredictor:
         self.last_model_stats = None
         # Temporal chunking for long videos (reference demo chunks frame
         # batches, `demo.py:694-880`): segments of `chunk_frames` frames run
-        # through one reused compiled graph; track positions at the segment
-        # boundary seed the next segment's queries. Bounds HBM to O(V *
-        # chunk_frames) feature maps / fused clouds regardless of T. None
-        # disables (the whole video is one static graph).
-        self.chunk_frames = chunk_frames
+        # through one reused compiled graph; track positions on the shared
+        # boundary frame seed the next segment's queries (segments overlap
+        # by one frame, so the seed is frame-consistent). Bounds HBM to
+        # O(V * chunk_frames) feature maps / fused clouds regardless of T.
+        # None (or any value < 2) disables.
+        self.chunk_frames = (
+            int(chunk_frames) if chunk_frames and int(chunk_frames) >= 2 else None
+        )
         self._jitted = {}
 
     def _forward(self, rgbs, depths, queries, intrs, extrs):
@@ -263,12 +266,14 @@ class EvaluationPredictor:
         (`demo.py:694-880`): every segment has the same static shape
         ([V, chunk_frames, H, W, ...]), so ONE compiled graph is reused for
         all of them (the last segment is edge-padded and its padding
-        dropped). Chaining mirrors the reference: a track already started
-        before a segment re-enters it as a query at relative t=0 placed at
-        its predicted position on the previous segment's final frame;
-        tracks starting inside the segment use their original query;
-        tracks starting later ride along as placeholders and are masked
-        out of the stitched result.
+        dropped). Consecutive segments share one boundary frame: a track
+        already started re-enters the next segment as a query at relative
+        t=0 placed at its predicted position ON that shared frame (no
+        temporal lag in the seed). Tracks starting inside the segment use
+        their original query; tracks starting later carry a start time
+        beyond the segment's last window, so the model's active mask keeps
+        them out of the shared attention entirely, and their rows are
+        masked out of the stitched result.
         """
         v, t = rgbs.shape[:2]
         chunk = int(self.chunk_frames)
@@ -276,6 +281,10 @@ class EvaluationPredictor:
         # Host-side control flow: query start times drive segment assembly.
         qt = np.asarray(queries[:, 0]).astype(np.int64)  # [N]
         qxyz = queries[:, 1:]  # [N, 3] (device)
+        # A start time safely past every window of a segment: active needs
+        # query_t < w_start + S and w_start < chunk, so 2*chunk is inert for
+        # any sliding_window_len <= chunk (the only sensible configuration).
+        inert_t = 2 * chunk
 
         def seg_frames(x, t0, length):
             sl = jax.lax.slice_in_dim(x, t0, t0 + length, axis=1)
@@ -287,11 +296,12 @@ class EvaluationPredictor:
 
         cur_xyz = qxyz
         traj_parts, vis_parts = [], []
-        for t0 in range(0, t, chunk):
+        t0 = 0
+        while True:
             length = min(chunk, t - t0)
             started = qt < t0
             inside = (qt >= t0) & (qt < t0 + chunk)
-            rel_t = np.where(started, 0, np.where(inside, qt - t0, chunk - 1))
+            rel_t = np.where(started, 0, np.where(inside, qt - t0, inert_t))
             seg_xyz = jnp.where(jnp.asarray(started)[:, None], cur_xyz, qxyz)
             seg_queries = jnp.concatenate(
                 [jnp.asarray(rel_t, queries.dtype)[:, None], seg_xyz], axis=1
@@ -303,17 +313,24 @@ class EvaluationPredictor:
                 seg_frames(intrs, t0, length),
                 seg_frames(extrs, t0, length),
             )
-            traj_parts.append(traj_s[:length])
-            vis_parts.append(vis_s[:length])
-            # Boundary positions seed the next segment's chained queries.
+            # The shared boundary frame (local 0) was already emitted by the
+            # previous segment.
+            offset = 0 if t0 == 0 else 1
+            traj_parts.append(traj_s[offset:length])
+            vis_parts.append(vis_s[offset:length])
+            # Positions on the segment's final frame — the next segment's
+            # local frame 0 — seed its chained queries.
             cur_xyz = jnp.where(
                 jnp.asarray(qt < t0 + length)[:, None], traj_s[length - 1], cur_xyz
             )
+            if t0 + length >= t:
+                break
+            t0 += chunk - 1  # overlap by one frame
 
         traj = jnp.concatenate(traj_parts, axis=0)  # [T, N, 3]
         vis = jnp.concatenate(vis_parts, axis=0)  # [T, N]
-        # Re-mask with the TRUE start times (placeholder rows computed
-        # values inside their pre-start segments).
+        # Re-mask with the TRUE start times (segments before a track's
+        # start computed placeholder rows for it).
         alive = jnp.arange(t)[:, None] >= jnp.asarray(qt)[None, :]
         return jnp.where(alive[..., None], traj, 0.0), jnp.where(alive, vis, 0.0)
 

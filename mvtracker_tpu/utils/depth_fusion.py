@@ -109,6 +109,13 @@ def fuse_depths(
         est = est.astype(np.float32)
         est = est * estimate_per_view_scale(est, gt, static_frames)
         c = np.ones_like(est) if conf is None else np.maximum(conf.astype(np.float32), 0.0)
+        # Non-finite estimate pixels (NaN/Inf at sky or failed regions of a
+        # DUSt3R/VGGT map) must carry zero weight AND a finite value — a NaN
+        # layer entry would poison the blend wherever its weight isn't
+        # exactly zero, and the 3x3 smoothing would smear it further.
+        finite = np.isfinite(est)
+        c = np.where(finite, c, 0.0)
+        est = np.where(finite, est, 0.0)
         c = c / max(float(c.max()), 1e-6)
         scaled.append(est)
         confs.append(c)

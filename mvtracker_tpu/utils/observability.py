@@ -104,7 +104,9 @@ class ProfilerTraceWindow:
     def step(self, i: int) -> None:
         import jax
 
-        if not self._active and i == self.start:
+        # >= so a resume past the nominal start still captures a trace
+        # (stop_at bounds the duration either way).
+        if not self._active and self.start <= i < self.stop_at:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
             logging.info("profiler trace started at step %d -> %s", i, self.log_dir)

@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--focal", type=float, default=1.0)
     parser.add_argument("--workers", type=int, default=2)
+    parser.add_argument("--model_size", choices=["small", "medium"], default="small",
+                        help="small: the historical smoke config; medium: "
+                        "2x width/depth for longer fresh-scene runs")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -48,17 +51,19 @@ def main():
     from mvtracker_tpu.training.train import TrainConfig, Trainer
     from tests.test_eval_pipeline import CopyCatPredictor
 
-    model = MVTracker(
-        sliding_window_len=8,
-        fmaps_dim=64,
-        num_heads=6,
-        hidden_size=192,
-        space_depth=3,
-        time_depth=3,
-        num_virtual_tracks=16,
-        corr_n_levels=3,
-        corr_neighbors=8,
-    )
+    base = dict(sliding_window_len=8, corr_n_levels=3)
+    sizes = {
+        "small": dict(
+            fmaps_dim=64, num_heads=6, hidden_size=192, space_depth=3,
+            time_depth=3, num_virtual_tracks=16, corr_neighbors=8,
+        ),
+        "medium": dict(
+            fmaps_dim=96, num_heads=8, hidden_size=256, space_depth=4,
+            time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
+            compute_dtype="bfloat16",
+        ),
+    }
+    model = MVTracker(**{**base, **sizes[args.model_size]})
     kw = dict(
         n_views=args.views, n_frames=12, height=args.res, width=args.res,
         n_tracks=32, motion_speed=args.motion_speed, rotate_objects=args.rotate,

@@ -54,10 +54,26 @@ def test_fusion_beats_each_input(rng):
     # Holes in the sensor are filled from the calibrated estimate.
     holes = sensor == 0
     err_fused_holes = np.abs(fused - true)[holes].mean()
-    err_est_holes = np.abs(est * 1.7 - true)[holes].mean() + 0.0
     assert err_fused_holes < 0.2, err_fused_holes
-    # Overall fused error is small (scale was recovered from the prefix).
+    # Overall fused error is small (scale was recovered from the prefix)
+    # and beats the raw calibrated estimate (sensor pixels anchor it).
+    err_est = np.abs(est * 1.7 - true).mean()
     assert err_fused < 0.08, err_fused
+    assert err_fused < err_est, (err_fused, err_est)
+
+
+def test_fusion_masks_nonfinite_estimate(rng):
+    """NaN/Inf pixels in an external depth estimate get zero weight and must
+    not leak into the fused result (directly or via the 3x3 smoothing)."""
+    gt, rgbs = _scene(rng)
+    est = gt / 2.0
+    est[:, :, ::3, ::3] = np.nan
+    est[:, :, 1::3, 1::3] = np.inf
+    fused, conf = fuse_depths(gt, [(est, None)], rgbs)
+    assert np.isfinite(fused).all() and np.isfinite(conf).all()
+    np.testing.assert_allclose(
+        fused[:, :, 1:-1, 1:-1], gt[:, :, 1:-1, 1:-1], atol=0.05
+    )
 
 
 def test_fusion_no_estimates_returns_sensor_like(rng):
