@@ -70,6 +70,17 @@ def _cross_attn_block(sd, prefix):
     }
 
 
+def _tree_stack(trees: list[dict]) -> dict:
+    """Stack a list of identical-structure nested dicts of arrays on axis 0."""
+    out = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = _tree_stack([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
+
+
 def convert_reference_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
     """Torch state_dict (tensors or arrays) -> flax params dict for MVTracker.
 
@@ -107,16 +118,34 @@ def convert_reference_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
         # sic: the reference misspells the parameter ("virual_tracks").
         "virtual_tracks": np.asarray(sd["updateformer.virual_tracks"]),
     }
-    for i in range(time_depth):
-        uf[f"time_{i}"] = _attn_block(sd, f"updateformer.time_blocks.{i}")
-    for j in range(space_depth):
-        uf[f"sv2p_{j}"] = _cross_attn_block(
-            sd, f"updateformer.space_virtual2point_blocks.{j}"
-        )
-        uf[f"svirt_{j}"] = _attn_block(sd, f"updateformer.space_virtual_blocks.{j}")
-        uf[f"sp2v_{j}"] = _cross_attn_block(
-            sd, f"updateformer.space_point2virtual_blocks.{j}"
-        )
+    if space_depth > 0 and time_depth == space_depth:
+        # 1:1 time/space interleave -> the model scans ONE stacked layer
+        # (`updateformer.py::_UpdateLayer`): stack per-depth trees on axis 0.
+        layers = [
+            {
+                "time": _attn_block(sd, f"updateformer.time_blocks.{i}"),
+                "sv2p": _cross_attn_block(
+                    sd, f"updateformer.space_virtual2point_blocks.{i}"
+                ),
+                "svirt": _attn_block(sd, f"updateformer.space_virtual_blocks.{i}"),
+                "sp2v": _cross_attn_block(
+                    sd, f"updateformer.space_point2virtual_blocks.{i}"
+                ),
+            }
+            for i in range(time_depth)
+        ]
+        uf["layers"] = _tree_stack(layers)
+    else:
+        for i in range(time_depth):
+            uf[f"time_{i}"] = _attn_block(sd, f"updateformer.time_blocks.{i}")
+        for j in range(space_depth):
+            uf[f"sv2p_{j}"] = _cross_attn_block(
+                sd, f"updateformer.space_virtual2point_blocks.{j}"
+            )
+            uf[f"svirt_{j}"] = _attn_block(sd, f"updateformer.space_virtual_blocks.{j}")
+            uf[f"sp2v_{j}"] = _cross_attn_block(
+                sd, f"updateformer.space_point2virtual_blocks.{j}"
+            )
     for fi, ti in ((0, 0), (1, 2), (2, 4)):
         uf[f"flow_head_{fi}"] = _dense(sd, f"updateformer.flow_head.{ti}")
 

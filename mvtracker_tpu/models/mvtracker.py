@@ -161,6 +161,12 @@ class MVTracker(nn.Module):
     corr_add_neighbor_xyz: bool = False
     flow_embed_dim: int = 64
     knn_backend: str = "auto"
+    # Unroll factor of the update transformer's scanned layer stack.
+    # Measured on v5e at the flagship bench shapes (cold compile / step):
+    # unroll=1 17s/94.9ms, 2 18s/92.9ms, 3 20s/93.5ms, 6 31s/93.1ms —
+    # versus ~5-6 MINUTES cold compile for the pre-scan unrolled loop at
+    # the same ~93 ms step. 2 is the sweet spot.
+    transformer_scan_unroll: int = 2
     compute_dtype: str = "float32"  # "bfloat16" runs conv/attention on bf16 MXU paths
     # Optional PTv3-equivalent cloud backbone (reference `use_ptv3`,
     # `evaluator_3dpt.py:245`): serialized point transformer refining the
@@ -214,6 +220,7 @@ class MVTracker(nn.Module):
             add_space_attn=self.add_space_attn,
             num_virtual_tracks=self.num_virtual_tracks,
             dtype=dtype,
+            scan_unroll=self.transformer_scan_unroll,
         )
         # Feature update head (reference `mvtracker.py:178-180`): GroupNorm(1,C)
         # == LayerNorm with affine at eps 1e-5, then Linear+GELU.

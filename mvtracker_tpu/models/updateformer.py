@@ -138,6 +138,63 @@ class CrossAttnBlock(nn.Module):
         return x
 
 
+class _UpdateLayer(nn.Module):
+    """One update layer: packed time attention + the space virtual-track
+    triple (virtual<-point, virtual self, point<-virtual).
+
+    The body of `EfficientUpdateFormer`'s depth loop when the time/space
+    interleave is 1:1 (`interval == 1`, the flagship configuration) —
+    factored out so the loop can run as ONE `nn.scan` with stacked
+    parameters: the layer is traced and compiled once instead of
+    `depth` times, cutting the transformer's share of the flagship's
+    cold-compile time roughly by the depth factor. Numerics are identical
+    to the unrolled loop.
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float
+    n_points: int  # real (non-virtual) tracks at the front of the token axis
+    time_pack: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, tokens, key_mask_bt, diag):
+        b, n_tot, t, c = tokens.shape
+        g = self.time_pack
+        rows = b * n_tot
+        tt = tokens.reshape(rows, t, c)
+        if g > 1:
+            pad_rows = (-rows) % g
+            ttp = jnp.pad(tt, ((0, pad_rows), (0, 0), (0, 0)))
+            ttp = ttp.reshape((rows + pad_rows) // g, g * t, c)
+            ttp = AttnBlock(
+                self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name="time"
+            )(ttp, pair_mask=diag)
+            tt = ttp.reshape(rows + pad_rows, t, c)[:rows]
+        else:
+            tt = AttnBlock(
+                self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name="time"
+            )(tt)
+        tokens = tt.reshape(b, n_tot, t, c)
+
+        st = tokens.transpose(0, 2, 1, 3).reshape(b * t, n_tot, c)
+        point_tokens = st[:, : self.n_points]
+        virtual_tokens = st[:, self.n_points :]
+        virtual_tokens = CrossAttnBlock(
+            self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name="sv2p"
+        )(virtual_tokens, point_tokens, key_mask=key_mask_bt)
+        virtual_tokens = AttnBlock(
+            self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name="svirt"
+        )(virtual_tokens)
+        point_tokens = CrossAttnBlock(
+            self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name="sp2v"
+        )(point_tokens, virtual_tokens)
+        st = jnp.concatenate([point_tokens, virtual_tokens], axis=1)
+        tokens = st.reshape(b, t, n_tot, c).transpose(0, 2, 1, 3)
+        return tokens, None
+
+
 class EfficientUpdateFormer(nn.Module):
     """Factorized space/time transformer over [B, N, T, C_in] track tokens.
 
@@ -163,6 +220,12 @@ class EfficientUpdateFormer(nn.Module):
     # G=8 measured best on v5e (full module 2.40 -> 1.78 ms at the
     # flagship's window shapes; G=16/32 within noise of 8).
     time_pack: int = 8
+    # Unroll factor for the scanned layer stack (1:1 interleave path):
+    # 1 = true loop (smallest graph, fastest compile; pays a dynamic-slice
+    # copy of each layer's params per step), depth = fully unrolled inside
+    # one traced body (param slices become static, old runtime). Measured
+    # on v5e at the flagship shapes — see NOTES.md.
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, track_mask: Optional[jax.Array] = None) -> jax.Array:
@@ -181,6 +244,41 @@ class EfficientUpdateFormer(nn.Module):
         virtual = jnp.broadcast_to(virtual, (b, self.num_virtual_tracks, t, self.hidden_size))
         tokens = jnp.concatenate([tokens, virtual.astype(tokens.dtype)], axis=1)
         n_tot = n + self.num_virtual_tracks
+
+        key_mask_bt = None
+        if track_mask is not None:
+            # [B, N] -> [B*T, N] matching the (B T) flattening below.
+            key_mask_bt = jnp.repeat(track_mask, t, axis=0)
+
+        # Block-diagonal pair mask for packed time attention (see time_pack).
+        g = self.time_pack
+        rows = b * n_tot
+        diag = None
+        if g > 1:
+            pad_rows = (-rows) % g
+            diag = jnp.kron(jnp.eye(g, dtype=jnp.int8), jnp.ones((t, t), jnp.int8)) > 0
+
+        if self.add_space_attn and self.time_depth == self.space_depth:
+            # 1:1 time/space interleave (the flagship config): one scanned
+            # layer with stacked params — compiled once, not depth times.
+            scanned = nn.scan(
+                _UpdateLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.time_depth,
+                unroll=min(self.scan_unroll, self.time_depth),
+            )
+            tokens, _ = scanned(
+                self.hidden_size,
+                self.num_heads,
+                self.mlp_ratio,
+                n_points=n,
+                time_pack=g,
+                dtype=self.dtype,
+                name="layers",
+            )(tokens, key_mask_bt, diag)
+            return self._head(tokens, n)
 
         time_blocks = [
             AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"time_{i}")
@@ -201,17 +299,8 @@ class EfficientUpdateFormer(nn.Module):
             ]
             interval = self.time_depth // self.space_depth
 
-        key_mask_bt = None
-        if track_mask is not None:
-            # [B, N] -> [B*T, N] matching the (B T) flattening below.
-            key_mask_bt = jnp.repeat(track_mask, t, axis=0)
-
-        # Block-diagonal pair mask for packed time attention (see time_pack).
-        g = self.time_pack
-        rows = b * n_tot
         if g > 1:
             pad_rows = (-rows) % g
-            diag = jnp.kron(jnp.eye(g, dtype=jnp.int8), jnp.ones((t, t), jnp.int8)) > 0
 
         j = 0
         for i in range(self.time_depth):
@@ -238,8 +327,12 @@ class EfficientUpdateFormer(nn.Module):
                 tokens = st.reshape(b, t, n_tot, self.hidden_size).transpose(0, 2, 1, 3)
                 j += 1
 
-        tokens = tokens[:, :n].astype(jnp.float32)
+        return self._head(tokens, n)
 
+    def _head(self, tokens: jax.Array, n: int) -> jax.Array:
+        # Helper invoked from the (single) compact `__call__`; submodule
+        # definitions here live in its compact scope.
+        tokens = tokens[:, :n].astype(jnp.float32)
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_0")(tokens)
         y = nn.relu(y)
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_1")(y)
