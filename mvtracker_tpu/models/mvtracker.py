@@ -167,6 +167,10 @@ class MVTracker(nn.Module):
     # versus ~5-6 MINUTES cold compile for the pre-scan unrolled loop at
     # the same ~93 ms step. 2 is the sweet spot.
     transformer_scan_unroll: int = 2
+    # LoFTR support-feature memory in the update transformer (reference
+    # SpaTracker "gnn"; 0 disables — MVTracker proper has none, the
+    # triplane SpaTracker variant defaults to the reference's 100).
+    support_memory_tokens: int = 0
     compute_dtype: str = "float32"  # "bfloat16" runs conv/attention on bf16 MXU paths
     # Optional PTv3-equivalent cloud backbone (reference `use_ptv3`,
     # `evaluator_3dpt.py:245`): serialized point transformer refining the
@@ -221,6 +225,7 @@ class MVTracker(nn.Module):
             num_virtual_tracks=self.num_virtual_tracks,
             dtype=dtype,
             scan_unroll=self.transformer_scan_unroll,
+            support_memory_tokens=self.support_memory_tokens,
         )
         # Feature update head (reference `mvtracker.py:178-180`): GroupNorm(1,C)
         # == LayerNorm with affine at eps 1e-5, then Linear+GELU.

@@ -37,6 +37,9 @@ class MultiViewSpaTracker(MVTracker):
 
     triplane_res: int = 64
     corr_patch_radius: int = 3
+    # Reference SpaTracker carries a 100-token LoFTR support-feature bank
+    # in its update former (`spatracker_multiview.py:112-113`).
+    support_memory_tokens: int = 100
 
     @property
     def updateformer_input_dim(self) -> int:

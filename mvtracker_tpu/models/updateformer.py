@@ -226,6 +226,16 @@ class EfficientUpdateFormer(nn.Module):
     # one traced body (param slices become static, old runtime). Measured
     # on v5e at the flagship shapes — see NOTES.md.
     scan_unroll: int = 1
+    # LoFTR-style support-feature memory (reference SpaTracker's "gnn":
+    # `spatracker/blocks.py:656-662`, bank init 0.1 at
+    # `spatracker_multiview.py:112`): when > 0, the point tokens
+    # cross-refine against this many learnable memory tokens through an
+    # alternating self/cross transformer before the flow head. The
+    # reference additionally persists residual bank updates across
+    # windows as mutable module state (`spatracker_monocular.py:437,475`)
+    # — a torch-ism dropped here; the bank is a learned parameter.
+    support_memory_tokens: int = 0
+    support_memory_attention: str = "full"  # "full" | "linear"
 
     @nn.compact
     def __call__(self, x: jax.Array, track_mask: Optional[jax.Array] = None) -> jax.Array:
@@ -333,6 +343,23 @@ class EfficientUpdateFormer(nn.Module):
         # Helper invoked from the (single) compact `__call__`; submodule
         # definitions here live in its compact scope.
         tokens = tokens[:, :n].astype(jnp.float32)
+        if self.support_memory_tokens > 0:
+            from mvtracker_tpu.models.loftr import LocalFeatureTransformer
+
+            b, n_, t, c = tokens.shape
+            mem = self.param(
+                "support_memory",
+                nn.initializers.constant(0.1),  # reference bank init
+                (1, self.support_memory_tokens, self.hidden_size),
+            )
+            flat = tokens.reshape(b, n_ * t, c)
+            flat, _ = LocalFeatureTransformer(
+                self.hidden_size,
+                nhead=4,
+                attention=self.support_memory_attention,
+                name="gnn",
+            )(flat, jnp.broadcast_to(mem, (b,) + mem.shape[1:]))
+            tokens = flat.reshape(b, n_, t, c)
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_0")(tokens)
         y = nn.relu(y)
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_1")(y)
