@@ -29,6 +29,7 @@ import time
 from typing import Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mvtracker_tpu.parallel import mesh as mesh_lib
@@ -77,6 +78,11 @@ class TrainConfig:
     # upgrade over its manual phase timing.
     profile_start_step: int = -1
     profile_n_steps: int = 3
+    # Warm-start model weights from a file before training (reference
+    # `cli/train.py:603-620`): a flax .msgpack (cli/convert.py output) or
+    # a torch .pth reference checkpoint. Non-strict fallback on mismatch.
+    # Applied only when no auto-resume checkpoint exists. "" disables.
+    warm_start_ckpt: str = ""
 
 
 def augment_train_iters(step: int, cfg: TrainConfig, rng: np.random.Generator) -> int:
@@ -150,6 +156,49 @@ class Trainer:
         mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
         mgr.wait_until_finished()
         logging.info("saved checkpoint at step %d", step)
+
+    def warm_start(self, state: step_lib.TrainState, path: str) -> step_lib.TrainState:
+        """Initialize model weights from a file before training.
+
+        Mirrors the reference's warm-start path (`cli/train.py:603-620`):
+        accepts a flax .msgpack params file (cli/convert.py output) or a
+        torch .pth reference checkpoint (converted on the fly). Strict when
+        every leaf matches; otherwise falls back to non-strict merging of
+        the intersecting, shape-matching leaves with a warning per skipped
+        leaf (the reference's strict -> non-strict fallback).
+        """
+        import flax.serialization
+        import flax.traverse_util as tru
+
+        if path.endswith((".pth", ".pt")):
+            from mvtracker_tpu.convert import load_reference_checkpoint
+
+            loaded = load_reference_checkpoint(path)
+        else:
+            with open(path, "rb") as f:
+                # Untemplated decode: msgpack restores a plain nested dict.
+                loaded = flax.serialization.msgpack_restore(f.read())
+
+        cur = tru.flatten_dict(state.params, sep="/")
+        new = tru.flatten_dict(loaded, sep="/")
+        merged, used, skipped = dict(cur), 0, 0
+        for k, v in new.items():
+            if k in cur and tuple(cur[k].shape) == tuple(np.asarray(v).shape):
+                merged[k] = jnp.asarray(v, cur[k].dtype)
+                used += 1
+            else:
+                skipped += 1
+                logging.warning("warm-start: skipping %s %s", k, np.asarray(v).shape)
+        missing = len(cur) - used
+        if skipped or missing:
+            logging.warning(
+                "warm-start non-strict: %d loaded, %d skipped, %d left at init",
+                used, skipped, missing,
+            )
+        else:
+            logging.info("warm-start strict: all %d leaves loaded from %s", used, path)
+        params = tru.unflatten_dict(merged, sep="/")
+        return step_lib.TrainState(params, state.opt_state, state.step)
 
     def restore_latest(self, state: step_lib.TrainState) -> tuple[step_lib.TrainState, int]:
         """Auto-resume (reference `cli/train.py:575-601`)."""
@@ -228,6 +277,8 @@ class Trainer:
                 jax.random.PRNGKey(cfg.seed),
                 iters=cfg.train_iters,
             )
+        if cfg.warm_start_ckpt and self._ckpt_manager().latest_step() is None:
+            state = self.warm_start(state, cfg.warm_start_ckpt)
         state, start_step = self.restore_latest(state)
 
         total = max_steps if max_steps is not None else cfg.total_steps

@@ -247,3 +247,53 @@ def test_profiler_trace_window(tmp_path):
         if f.endswith((".xplane.pb", ".trace.json.gz", ".json.gz"))
     ]
     assert files, f"no trace artifacts under {profile_dir}"
+
+
+def test_warm_start_strict_and_nonstrict(tmp_path):
+    """Warm-start loads msgpack weights; mismatched trees fall back to
+    non-strict merging of intersecting leaves (reference train.py:603-620)."""
+    import flax.serialization
+    import flax.traverse_util as tru
+    import jax
+
+    from mvtracker_tpu.training import step as step_lib
+
+    model = tiny_model()
+    batch = next(iter(tiny_loader()))
+    example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
+    trainer = Trainer(model, TrainConfig(exp_dir=str(tmp_path / "a")))
+    opt = trainer.optimizer
+    s1 = step_lib.init_state(model, opt, example, jax.random.PRNGKey(0), iters=1)
+    s2 = step_lib.init_state(model, opt, example, jax.random.PRNGKey(7), iters=1)
+
+    path = tmp_path / "w.msgpack"
+    path.write_bytes(flax.serialization.to_bytes(s1.params))
+
+    # Strict: identical tree -> every leaf equals the saved value.
+    s2w = trainer.warm_start(s2, str(path))
+    for k, v in tru.flatten_dict(s2w.params, sep="/").items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(tru.flatten_dict(s1.params, sep="/")[k]), k
+        )
+
+    # Non-strict: a wider model loads what intersects and keeps the rest.
+    wide = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=64,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    trainer_w = Trainer(wide, TrainConfig(exp_dir=str(tmp_path / "b")))
+    sw = step_lib.init_state(wide, trainer_w.optimizer, example, jax.random.PRNGKey(1), iters=1)
+    sww = trainer_w.warm_start(sw, str(path))  # must not raise
+    flat_before = tru.flatten_dict(sw.params, sep="/")
+    flat_after = tru.flatten_dict(sww.params, sep="/")
+    fnet_key = [k for k in flat_after if k.startswith("params/fnet/conv1")][0]
+    np.testing.assert_array_equal(
+        np.asarray(flat_after[fnet_key]),
+        np.asarray(tru.flatten_dict(s1.params, sep="/")[fnet_key]),
+    )
+    assert any(
+        np.asarray(flat_after[k]).shape != np.asarray(tru.flatten_dict(s1.params, sep="/").get(k, flat_after[k])).shape
+        or np.array_equal(np.asarray(flat_after[k]), np.asarray(flat_before[k]))
+        for k in flat_after
+    )
