@@ -159,6 +159,17 @@ class MVTracker(nn.Module):
     corr_neighbors: int = 16
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
+    # Exclude zero-depth pixels (which unproject to the camera origin) from
+    # the kNN reference set during correlation (reference
+    # `corr_filter_invalid_depth`, `mvtracker.py:112,815-826`; off by
+    # default there too). The reference compacts the cloud per batch and
+    # then gathers neighbor xyz/fvec from the UNcompacted arrays with the
+    # compacted indices — an index-misalignment bug whenever invalid points
+    # are not a suffix; here invalid points get sentinel coordinates (1e9)
+    # instead, so indices stay aligned and shapes stay static. If a frame
+    # has fewer than k valid points, sentinel picks fall back to that
+    # query's nearest valid neighbor.
+    corr_filter_invalid_depth: bool = False
     flow_embed_dim: int = 64
     knn_backend: str = "auto"
     # Unroll factor of the update transformer's scanned layer stack.
@@ -267,14 +278,17 @@ class MVTracker(nn.Module):
         """
         clouds = []
         for lvl in range(self.corr_n_levels):
-            xyz, fvec = geo.init_pointcloud_from_rgbd(
+            out = geo.init_pointcloud_from_rgbd(
                 fmaps[None],  # [1, V, T, h, w, C]
                 depths_strided[None],
                 intrs[None],
                 extrs[None],
                 stride=self.stride,
                 level=lvl,
+                return_validity_mask=self.corr_filter_invalid_depth,
             )
+            xyz, fvec = out[0], out[1]
+            valid = out[2] if self.corr_filter_invalid_depth else None
             if lvl == 0 and self.use_point_transformer:
                 # Per-frame serialized-attention refinement of the fused
                 # cloud (PTv3-equivalent backbone).
@@ -286,7 +300,9 @@ class MVTracker(nn.Module):
                 # traffic and avoids re-casting inside the refine scan.
                 # Geometry (xyz) stays fp32.
                 fvec = fvec.astype(jnp.bfloat16)
-            clouds.append((xyz, fvec))  # [T, P_l, 3], [T, P_l, C]
+            # valid=None stays a pytree-empty slot (the window scan's
+            # tree.map gathers only array leaves).
+            clouds.append((xyz, fvec, valid))  # [T,P_l,3], [T,P_l,C], [T,P_l]?
         return clouds
 
     def _feat_init(self, context, query_t, query_xyz):
@@ -295,7 +311,7 @@ class MVTracker(nn.Module):
 
         query_t: [N] int; query_xyz: [N, 3]. Returns [N, C].
         """
-        cloud0_xyz, cloud0_fvec = context[0]
+        cloud0_xyz, cloud0_fvec = context[0][0], context[0][1]
         t = cloud0_xyz.shape[0]
         n = query_xyz.shape[0]
         # kNN of every query against every frame's cloud (batch = frames),
@@ -398,6 +414,15 @@ class MVTracker(nn.Module):
         s, n, _ = coords.shape
         levels = list(range(self.corr_n_levels))
 
+        def knn_ref(lvl):
+            """kNN reference set: cloud xyz, with invalid-depth points moved
+            to a 1e9 sentinel when corr_filter_invalid_depth is on (they can
+            never enter a top-k; indices stay aligned with the cloud)."""
+            xyz_l, valid_l = context_w[lvl][0], context_w[lvl][2]
+            if valid_l is None:
+                return xyz_l
+            return jnp.where(valid_l[..., None], xyz_l, 1e9)
+
         # kNN per pyramid level. Small levels (coarse clouds) are
         # launch-overhead-bound as individual kernel calls (~0.4 ms each on
         # v5e regardless of work), so levels with <= 1024 points are padded
@@ -411,7 +436,7 @@ class MVTracker(nn.Module):
             if lvl in small and len(small) > 1:
                 continue
             d, i = knn_ops.knn(
-                context_w[lvl][0], coords, self.corr_neighbors, backend=self.knn_backend
+                knn_ref(lvl), coords, self.corr_neighbors, backend=self.knn_backend
             )
             knn_dists[lvl], knn_idx[lvl] = d, i
         if len(small) > 1:
@@ -419,7 +444,7 @@ class MVTracker(nn.Module):
             refs = jnp.concatenate(
                 [
                     jnp.pad(
-                        context_w[l][0],
+                        knn_ref(l),
                         ((0, 0), (0, pmax - context_w[l][0].shape[1]), (0, 0)),
                         constant_values=1e9,
                     )
@@ -434,10 +459,19 @@ class MVTracker(nn.Module):
             for j, l in enumerate(small):
                 knn_dists[l] = d_all[j * s : (j + 1) * s]
                 knn_idx[l] = i_all[j * s : (j + 1) * s]
+        if self.corr_filter_invalid_depth:
+            # Frames with fewer than k valid points let sentinels through;
+            # fall back to that query's nearest (rank-0) valid neighbor so
+            # offsets/correlation never see 1e9 coordinates.
+            for lvl in levels:
+                d, i = knn_dists[lvl], knn_idx[lvl]
+                bad = d > 1e8
+                knn_idx[lvl] = jnp.where(bad, i[..., :1], i)
+                knn_dists[lvl] = jnp.where(bad, d[..., :1], d)
 
         fcorrs = []
         for lvl in levels:
-            xyz_l, fvec_l = context_w[lvl]
+            xyz_l, fvec_l = context_w[lvl][0], context_w[lvl][1]
             dists, idx = knn_dists[lvl], knn_idx[lvl]
             p_l = xyz_l.shape[1]
             if self.corr_neighbors > p_l:

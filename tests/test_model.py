@@ -223,3 +223,35 @@ def test_small_cloud_fewer_points_than_neighbors(rng):
     out = jax.jit(lambda p, *a: model.apply(p, *a, iters=1))(params, *args)
     assert np.isfinite(np.asarray(out["traj"])).all()
     assert np.isfinite(np.asarray(out["vis"])).all()
+
+
+def test_corr_filter_invalid_depth(rng):
+    """Zero-depth pixels are excluded from the correlation kNN when
+    corr_filter_invalid_depth=True (reference flag, `mvtracker.py:112,
+    815-826`); with no invalid pixels the flag is a bitwise no-op."""
+    cfg = dict(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=2, time_depth=2, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    args = list(make_scene(rng, v=2, t=8, h=32, w=48, n=6))
+
+    m_off = MVTracker(**cfg)
+    m_on = MVTracker(corr_filter_invalid_depth=True, **cfg)
+    params = m_off.init(jax.random.PRNGKey(0), *args, iters=2)
+
+    # All depths valid: identical outputs.
+    o_off = m_off.apply(params, *args, iters=2)
+    o_on = m_on.apply(params, *args, iters=2)
+    np.testing.assert_array_equal(np.asarray(o_off["traj"]), np.asarray(o_on["traj"]))
+
+    # Punch depth holes (a third of every view) -> filtered run must stay
+    # finite and differ from the unfiltered one (camera-origin points no
+    # longer pollute the neighborhoods).
+    depths = np.array(args[1])
+    depths[:, :, ::3, :] = 0.0
+    args[1] = jnp.asarray(depths)
+    o_off = m_off.apply(params, *args, iters=2)
+    o_on = m_on.apply(params, *args, iters=2)
+    assert np.isfinite(np.asarray(o_on["traj"])).all()
+    assert np.abs(np.asarray(o_on["traj"]) - np.asarray(o_off["traj"])).max() > 0
