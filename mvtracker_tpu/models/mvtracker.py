@@ -159,6 +159,14 @@ class MVTracker(nn.Module):
     corr_neighbors: int = 16
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
+    # Fast mode: compute the correlation kNN ONCE per window (at the
+    # window's initial coords — chained from the previous window's tail)
+    # and reuse the neighbor set across all refinement iterations; offsets
+    # and correlations still update with the refined coords each iteration.
+    # Cuts kNN cost by the iteration count (~4x). APPROXIMATE: the
+    # reference re-searches every iteration (`mvtracker.py:815`) — enable
+    # only when the measured quality delta is acceptable (see NOTES.md).
+    corr_knn_reuse: bool = False
     # Exclude zero-depth pixels (which unproject to the camera origin) from
     # the kNN reference set during correlation (reference
     # `corr_filter_invalid_depth`, `mvtracker.py:112,815-826`; off by
@@ -362,11 +370,19 @@ class MVTracker(nn.Module):
         ffeats0 = jnp.broadcast_to(feat_init[None], (s, n, c)).astype(jnp.float32)
         mask_and_vis = jnp.stack([track_mask, vis_init], axis=-1)  # [S, N, 2]
 
+        # Fast mode: one kNN per window at the initial coords (identical to
+        # the first iteration's search), reused across all iterations.
+        knn_cache = None
+        if self.corr_knn_reuse:
+            knn_cache = self._corr_knn(context_w, jax.lax.stop_gradient(coords_init))
+
         def refine_step(mdl, carry, _):
             coords, ffeats = carry
             coords = jax.lax.stop_gradient(coords)
 
-            fcorrs = mdl._corr_features(context_w, coords, ffeats)  # [S, N, LRR]
+            fcorrs = mdl._corr_features(
+                context_w, coords, ffeats, knn_cache=knn_cache
+            )  # [S, N, LRR]
 
             flows = coords - coords[0:1]  # [S, N, 3]
             flows_emb = emb.coord_embedding_3d(flows, self.flow_embed_dim)  # [S,N,195]
@@ -404,14 +420,62 @@ class MVTracker(nn.Module):
         vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
         return coord_predictions, vis_logits
 
-    def _corr_features(self, context_w, coords, ffeats):
+    def _corr_features(self, context_w, coords, ffeats, knn_cache=None):
         """Correlation features per (frame, track) — variant hook.
 
         MVTracker: kNN into each pyramid level's fused cloud + grouped
         correlation (reference `PointcloudCorrBlock.corr_sample`,
-        `mvtracker.py:800-846`). Returns [S, N, LRR].
+        `mvtracker.py:800-846`). Returns [S, N, LRR]. `knn_cache`, when
+        given, supplies precomputed (dists, idx) per level (corr_knn_reuse).
         """
         s, n, _ = coords.shape
+        levels = list(range(self.corr_n_levels))
+        if knn_cache is not None:
+            knn_dists, knn_idx = knn_cache
+        else:
+            knn_dists, knn_idx = self._corr_knn(context_w, coords)
+
+        fcorrs = []
+        for lvl in levels:
+            xyz_l, fvec_l = context_w[lvl][0], context_w[lvl][1]
+            dists, idx = knn_dists[lvl], knn_idx[lvl]
+            p_l = xyz_l.shape[1]
+            if self.corr_neighbors > p_l:
+                # Coarse pyramid levels of small inputs can hold fewer
+                # points than corr_neighbors (e.g. 2 views at 64x64 ->
+                # 8-point level-3 cloud): neighbor ranks >= p_l are padding
+                # sentinels whose 1e9 coordinates would enter the offset
+                # features and blow up the transformer. Wrap the ranks so
+                # real neighbors repeat instead (static shapes preserved).
+                wrap = np.arange(self.corr_neighbors) % p_l
+                dists = dists[..., wrap]
+                idx = idx[..., wrap]
+            if self.collect_stats:
+                # Mean neighbor distance per k-rank, aggregated over the
+                # window's (frame, track) grid (reference `mvtracker.py:
+                # 190-242` collects the same distances into pandas tables).
+                self.sow("intermediates", f"knn_dists_lvl{lvl}", dists.mean(axis=(0, 1)))
+            fc = corr_ops.corr_sample(
+                xyz_l,
+                fvec_l,
+                ffeats,
+                coords,
+                idx,
+                groups=self.corr_n_groups,
+                add_neighbor_offset=self.corr_add_neighbor_offset,
+                add_neighbor_xyz=self.corr_add_neighbor_xyz,
+                # bf16 stream matches the reference's bf16-autocast corr.
+                compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else None,
+            )  # [S, N, K, F]
+            fcorrs.append(fc.reshape(s, n, -1))
+        return jnp.concatenate(fcorrs, axis=-1)
+
+    def _corr_knn(self, context_w, coords):
+        """kNN of track coords into every pyramid level's fused cloud.
+
+        Returns ({lvl: dists [S,N,K]}, {lvl: idx [S,N,K]}).
+        """
+        s = coords.shape[0]
         levels = list(range(self.corr_n_levels))
 
         def knn_ref(lvl):
@@ -468,41 +532,7 @@ class MVTracker(nn.Module):
                 bad = d > 1e8
                 knn_idx[lvl] = jnp.where(bad, i[..., :1], i)
                 knn_dists[lvl] = jnp.where(bad, d[..., :1], d)
-
-        fcorrs = []
-        for lvl in levels:
-            xyz_l, fvec_l = context_w[lvl][0], context_w[lvl][1]
-            dists, idx = knn_dists[lvl], knn_idx[lvl]
-            p_l = xyz_l.shape[1]
-            if self.corr_neighbors > p_l:
-                # Coarse pyramid levels of small inputs can hold fewer
-                # points than corr_neighbors (e.g. 2 views at 64x64 ->
-                # 8-point level-3 cloud): neighbor ranks >= p_l are padding
-                # sentinels whose 1e9 coordinates would enter the offset
-                # features and blow up the transformer. Wrap the ranks so
-                # real neighbors repeat instead (static shapes preserved).
-                wrap = np.arange(self.corr_neighbors) % p_l
-                dists = dists[..., wrap]
-                idx = idx[..., wrap]
-            if self.collect_stats:
-                # Mean neighbor distance per k-rank, aggregated over the
-                # window's (frame, track) grid (reference `mvtracker.py:
-                # 190-242` collects the same distances into pandas tables).
-                self.sow("intermediates", f"knn_dists_lvl{lvl}", dists.mean(axis=(0, 1)))
-            fc = corr_ops.corr_sample(
-                xyz_l,
-                fvec_l,
-                ffeats,
-                coords,
-                idx,
-                groups=self.corr_n_groups,
-                add_neighbor_offset=self.corr_add_neighbor_offset,
-                add_neighbor_xyz=self.corr_add_neighbor_xyz,
-                # bf16 stream matches the reference's bf16-autocast corr.
-                compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else None,
-            )  # [S, N, K, F]
-            fcorrs.append(fc.reshape(s, n, -1))
-        return jnp.concatenate(fcorrs, axis=-1)
+        return knn_dists, knn_idx
 
     # ------------------------------------------------------------------
     # Full forward

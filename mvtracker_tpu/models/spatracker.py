@@ -111,7 +111,12 @@ class MultiViewSpaTracker(MVTracker):
 
     # -- correlation ---------------------------------------------------
 
-    def _corr_features(self, context_w, coords, ffeats):
+    def _corr_knn(self, context_w, coords):
+        # The triplane variant has no kNN stage; corr_knn_reuse is a no-op.
+        return None
+
+    def _corr_features(self, context_w, coords, ffeats, knn_cache=None):
+        # knn_cache is always None here (see _corr_knn).
         """Patch-pyramid correlation on the three planes.
 
         For each pyramid level l (plane average-pooled 2^l times) and plane

@@ -255,3 +255,30 @@ def test_corr_filter_invalid_depth(rng):
     o_on = m_on.apply(params, *args, iters=2)
     assert np.isfinite(np.asarray(o_on["traj"])).all()
     assert np.abs(np.asarray(o_on["traj"]) - np.asarray(o_off["traj"])).max() > 0
+
+
+def test_corr_knn_reuse(rng):
+    """corr_knn_reuse freezes the per-window neighbor set at the initial
+    coords: identical to exact search at iters=1 (the first iteration IS
+    the initial-coords search), finite and close at iters>1."""
+    cfg = dict(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=2, time_depth=2, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    args = make_scene(rng, v=2, t=8, h=32, w=48, n=6)
+    m_exact = MVTracker(**cfg)
+    m_reuse = MVTracker(corr_knn_reuse=True, **cfg)
+    params = m_exact.init(jax.random.PRNGKey(0), *args, iters=1)
+
+    o1 = m_exact.apply(params, *args, iters=1)
+    o2 = m_reuse.apply(params, *args, iters=1)
+    np.testing.assert_array_equal(np.asarray(o1["traj"]), np.asarray(o2["traj"]))
+
+    o1 = m_exact.apply(params, *args, iters=3)
+    o2 = m_reuse.apply(params, *args, iters=3)
+    t1, t2 = np.asarray(o1["traj"]), np.asarray(o2["traj"])
+    assert np.isfinite(t2).all()
+    # The frozen set approximates the exact search: outputs stay close on
+    # an untrained model's small refinement deltas.
+    assert np.abs(t1 - t2).max() < 1.0
