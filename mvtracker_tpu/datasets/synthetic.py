@@ -83,6 +83,7 @@ def render_scene(
     rotate_objects: bool = True,
     motion_speed: float = 1.0,
     valid_from_visibility: bool = False,
+    texture_detail: float = 0.0,
 ) -> Datapoint:
     """Render a synthetic scene; returns a fully populated Datapoint.
 
@@ -96,6 +97,13 @@ def render_scene(
     visible in at least one view: surface tracks on the blind hemisphere
     are unobservable, and supervising them rewards the static-copy local
     optimum (their conditional-mean target is near the query position).
+
+    `texture_detail` > 0 adds high-frequency local-frame texture bands
+    (quasi-random oriented sinusoids). The default smooth bands are locally
+    ambiguous at 64x64 — correlation features can slide along a band, so
+    models trained on many scenes collapse to the no-motion optimum on
+    held-out scenes; the detail bands make surface points localizable.
+    0 keeps the historical output bit-for-bit.
     """
     rng = np.random.default_rng(seed)
     v, t, h, w = n_views, n_frames, height, width
@@ -120,6 +128,17 @@ def render_scene(
     # Per-object texture frequencies/phases (multi-band, in local coords).
     tex_freq = rng.uniform(6.0, 16.0, size=(n_objects, 3))
     tex_phase = rng.uniform(0, 2 * np.pi, size=(n_objects, 3))
+    # High-frequency detail bands (texture_detail > 0): random 3D
+    # orientations, frequencies kept below the pixel Nyquist at 64x64
+    # (~5 px wavelength at the working depth) so views stay consistent.
+    # Drawn from a forked generator so the main RNG stream — and therefore
+    # every texture_detail=0 scene ever rendered — is untouched.
+    rng_hf = np.random.default_rng(seed * 1_000_003 + 77_777)
+    n_hf = 4
+    hf_dirs = rng_hf.normal(size=(n_objects, n_hf, 3))
+    hf_dirs /= np.linalg.norm(hf_dirs, axis=-1, keepdims=True)
+    hf_freq = rng_hf.uniform(15.0, 25.0, size=(n_objects, n_hf))
+    hf_phase = rng_hf.uniform(0, 2 * np.pi, size=(n_objects, n_hf))
 
     # Cameras on a circle, slight height variation, looking at the origin.
     intrs = np.zeros((v, t, 3, 3), np.float32)
@@ -197,6 +216,12 @@ def render_scene(
                 stripes = 0.6 + 0.2 * np.sin(f[0] * local[..., 0] + ph[0]) * np.sin(
                     f[1] * local[..., 2] + ph[1]
                 ) + 0.2 * np.sin(f[2] * (local[..., 1] + local[..., 0]) + ph[2])
+                if texture_detail > 0:
+                    hf = sum(
+                        np.sin(hf_freq[oi, j] * (local @ hf_dirs[oi, j]) + hf_phase[oi, j])
+                        for j in range(n_hf)
+                    )
+                    stripes = stripes + texture_detail * 0.25 * (hf / n_hf)
                 col = colors[oi][None, None] * (light * stripes)[..., None]
                 zbuf[sel] = cam_z_s[sel]
                 rgb[sel] = col[sel]

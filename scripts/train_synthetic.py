@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--views", type=int, default=2)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--focal", type=float, default=1.0)
+    parser.add_argument("--texture_detail", type=float, default=0.0,
+                        help="high-frequency texture bands (0=historical "
+                        "smooth bands; ~1.0 makes surface points localizable)")
     parser.add_argument("--workers", type=int, default=2)
     parser.add_argument("--model_size", choices=["small", "medium"], default="small",
                         help="small: the historical smoke config; medium: "
@@ -68,6 +71,7 @@ def main():
         n_views=args.views, n_frames=12, height=args.res, width=args.res,
         n_tracks=32, motion_speed=args.motion_speed, rotate_objects=args.rotate,
         valid_from_visibility=args.valid_vis, focal_factor=args.focal,
+        texture_detail=args.texture_detail,
     )
     # Caching only pays when scenes repeat (small datasets get memorized AND
     # cached); a large n_scenes means every step sees a fresh scene and the

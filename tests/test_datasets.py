@@ -136,3 +136,24 @@ def test_align_umeyama_recovers_sim3():
     np.testing.assert_allclose(s, s_true, atol=1e-6)
     np.testing.assert_allclose(r, q, atol=1e-6)
     np.testing.assert_allclose(t, t_true, atol=1e-6)
+
+
+def test_texture_detail_photoconsistent_and_rng_stable():
+    """texture_detail=0 is bit-identical to the historical renderer (the HF
+    bands draw from a forked RNG); >0 changes only the RGB (geometry, depth,
+    tracks, visibility identical) and the added pattern rides the surface
+    (painted in local coords, like the base bands)."""
+    base = dict(seed=3, n_views=2, n_frames=5, height=48, width=48, n_tracks=8)
+    a = synthetic.render_scene(**base)
+    b = synthetic.render_scene(texture_detail=0.0, **base)
+    np.testing.assert_array_equal(a.video, b.video)
+
+    c = synthetic.render_scene(texture_detail=1.0, **base)
+    np.testing.assert_array_equal(a.videodepth, c.videodepth)
+    np.testing.assert_array_equal(a.trajectory_3d, c.trajectory_3d)
+    np.testing.assert_array_equal(a.visibility, c.visibility)
+    diff = np.abs(a.video.astype(np.float32) - c.video.astype(np.float32))
+    assert diff.max() > 5.0  # the detail bands actually show up
+    # Only object pixels change; ground/background identical.
+    obj = a.segmentation > 0
+    assert np.all(diff[~obj] == 0)
