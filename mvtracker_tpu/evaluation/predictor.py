@@ -281,10 +281,11 @@ class EvaluationPredictor:
         # Host-side control flow: query start times drive segment assembly.
         qt = np.asarray(queries[:, 0]).astype(np.int64)  # [N]
         qxyz = queries[:, 1:]  # [N, 3] (device)
-        # A start time safely past every window of a segment: active needs
-        # query_t < w_start + S and w_start < chunk, so 2*chunk is inert for
-        # any sliding_window_len <= chunk (the only sensible configuration).
-        inert_t = 2 * chunk
+        # A start time safely past every window of a segment: the model's
+        # active set needs query_t < w_start + S with w_start < chunk, so
+        # chunk + S is inert for ANY chunk/window-length combination
+        # (2*chunk would leak for chunk_frames < sliding_window_len).
+        inert_t = chunk + int(getattr(self.model, "sliding_window_len", chunk))
 
         def seg_frames(x, t0, length):
             sl = jax.lax.slice_in_dim(x, t0, t0 + length, axis=1)

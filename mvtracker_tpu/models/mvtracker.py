@@ -526,11 +526,18 @@ class MVTracker(nn.Module):
         if self.corr_filter_invalid_depth:
             # Frames with fewer than k valid points let sentinels through;
             # fall back to that query's nearest (rank-0) valid neighbor so
-            # offsets/correlation never see 1e9 coordinates.
+            # offsets/correlation never see 1e9 coordinates. A frame with
+            # ZERO valid points leaves even rank-0 bad — and in the batched
+            # small-level path its index can point into the inter-level
+            # padding (>= P_l), which take_along_axis would fill with NaN —
+            # so indices are additionally clamped into the level's range
+            # (features there are meaningless but finite, like the
+            # reference's untracked placeholder rows).
             for lvl in levels:
                 d, i = knn_dists[lvl], knn_idx[lvl]
                 bad = d > 1e8
-                knn_idx[lvl] = jnp.where(bad, i[..., :1], i)
+                i = jnp.where(bad, i[..., :1], i)
+                knn_idx[lvl] = jnp.minimum(i, context_w[lvl][0].shape[1] - 1)
                 knn_dists[lvl] = jnp.where(bad, d[..., :1], d)
         return knn_dists, knn_idx
 

@@ -288,7 +288,7 @@ class EfficientUpdateFormer(nn.Module):
                 dtype=self.dtype,
                 name="layers",
             )(tokens, key_mask_bt, diag)
-            return self._head(tokens, n)
+            return self._head(tokens, n, track_mask)
 
         time_blocks = [
             AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"time_{i}")
@@ -337,9 +337,11 @@ class EfficientUpdateFormer(nn.Module):
                 tokens = st.reshape(b, t, n_tot, self.hidden_size).transpose(0, 2, 1, 3)
                 j += 1
 
-        return self._head(tokens, n)
+        return self._head(tokens, n, track_mask)
 
-    def _head(self, tokens: jax.Array, n: int) -> jax.Array:
+    def _head(
+        self, tokens: jax.Array, n: int, track_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
         # Helper invoked from the (single) compact `__call__`; submodule
         # definitions here live in its compact scope.
         tokens = tokens[:, :n].astype(jnp.float32)
@@ -353,12 +355,22 @@ class EfficientUpdateFormer(nn.Module):
                 (1, self.support_memory_tokens, self.hidden_size),
             )
             flat = tokens.reshape(b, n_ * t, c)
+            # Inactive/padded tracks must stay invisible here too (same
+            # static-shape invariant as the virtual-token key mask above):
+            # flattening order is (track, time), so repeat per track.
+            flat_mask = None
+            if track_mask is not None:
+                flat_mask = jnp.repeat(track_mask, t, axis=1)  # [B, N*T]
             flat, _ = LocalFeatureTransformer(
                 self.hidden_size,
                 nhead=4,
                 attention=self.support_memory_attention,
                 name="gnn",
-            )(flat, jnp.broadcast_to(mem, (b,) + mem.shape[1:]))
+            )(
+                flat,
+                jnp.broadcast_to(mem, (b,) + mem.shape[1:]),
+                mask0=flat_mask,
+            )
             tokens = flat.reshape(b, n_, t, c)
         y = nn.Dense(self.output_dim, kernel_init=_TRUNC001, name="flow_head_0")(tokens)
         y = nn.relu(y)

@@ -157,6 +157,45 @@ class Trainer:
         mgr.wait_until_finished()
         logging.info("saved checkpoint at step %d", step)
 
+    @staticmethod
+    def _migrate_updateformer_layout(loaded: dict, current: dict) -> dict:
+        """Stack a pre-scan checkpoint's unrolled updateformer blocks
+        (time_i / sv2p_i / svirt_i / sp2v_i) into the scanned 'layers'
+        layout when the current model expects it (param-layout change when
+        the depth loop became one nn.scan; see updateformer._UpdateLayer)."""
+        try:
+            uf = loaded["params"]["updateformer"]
+            cur_uf = current["params"]["updateformer"]
+        except (KeyError, TypeError):
+            return loaded
+        if "layers" in uf or "layers" not in cur_uf or "time_0" not in uf:
+            return loaded
+        depth = len([k for k in uf if k.startswith("time_")])
+
+        def stack(trees):
+            return {
+                k: stack([t[k] for t in trees])
+                if isinstance(v, dict)
+                else np.stack([np.asarray(t[k]) for t in trees])
+                for k, v in trees[0].items()
+            }
+
+        layers = [
+            {
+                "time": uf.pop(f"time_{i}"),
+                "sv2p": uf.pop(f"sv2p_{i}"),
+                "svirt": uf.pop(f"svirt_{i}"),
+                "sp2v": uf.pop(f"sp2v_{i}"),
+            }
+            for i in range(depth)
+        ]
+        uf["layers"] = stack(layers)
+        logging.info(
+            "warm-start: migrated %d unrolled updateformer blocks to the "
+            "scanned layout", depth,
+        )
+        return loaded
+
     def warm_start(self, state: step_lib.TrainState, path: str) -> step_lib.TrainState:
         """Initialize model weights from a file before training.
 
@@ -178,6 +217,7 @@ class Trainer:
             with open(path, "rb") as f:
                 # Untemplated decode: msgpack restores a plain nested dict.
                 loaded = flax.serialization.msgpack_restore(f.read())
+        loaded = self._migrate_updateformer_layout(loaded, state.params)
 
         cur = tru.flatten_dict(state.params, sep="/")
         new = tru.flatten_dict(loaded, sep="/")

@@ -125,12 +125,20 @@ def fuse_depths(
         # estimate's weight exactly where the sensor has nothing — a bug
         # this re-design deliberately fixes: holes get filled by the
         # calibrated estimates instead of by blur.)
-        residuals.append(np.where(valid_gt, np.abs(est - gt), 0.0))
+        res = np.where(valid_gt, np.abs(est - gt), 0.0)
+        # Masked (non-finite) estimate pixels must not vote in the joint
+        # residual either: est was zeroed above, so |0 - gt| = gt would
+        # collapse the SENSOR's weight exactly where the estimate failed
+        # over a valid sensor reading. +inf excludes them from the minimum.
+        residuals.append(np.where(finite, res, np.inf))
     sigma = (
         max(0.05 * float(np.median(gt[valid_gt])), 0.02) if valid_gt.any() else 0.1
     )
 
     joint_residual = np.minimum.reduce(residuals) if residuals else np.zeros_like(gt)
+    # Pixels where every estimate is masked: nothing contradicts the sensor,
+    # so it keeps full weight (residual 0), not exp(-inf) = 0.
+    joint_residual = np.where(np.isfinite(joint_residual), joint_residual, 0.0)
     w_gt = valid_gt.astype(np.float32) * np.exp(-joint_residual / (sigma * 1.5 + 1e-6))
 
     weights = [w_gt]

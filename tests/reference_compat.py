@@ -12,6 +12,13 @@ import warnings
 REF = "/root/reference"
 
 
+def reference_available() -> bool:
+    """True when the reference repo snapshot is present (not on CI runners)."""
+    import os
+
+    return os.path.isdir(REF)
+
+
 def _stub(name, **attrs):
     mod = sys.modules.get(name) or types.ModuleType(name)
     for k, v in attrs.items():

@@ -91,3 +91,51 @@ def test_chunked_real_model_smoke(scene):
     assert np.isfinite(np.asarray(out["traj"])).all()
     # Exactly one compiled graph served all three segments.
     assert len(pred._jitted) == 1
+
+
+def test_small_chunk_placeholder_queries_stay_inert(scene):
+    """chunk_frames < sliding_window_len: not-yet-started tracks must stay
+    OUT of earlier segments' attention. Pre-fix, their placeholder start
+    time (2*chunk) was inside the model's active window when S > 2*chunk,
+    so a late query's (garbage) coordinates perturbed early tracks."""
+    import jax
+
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    model = MVTracker(
+        sliding_window_len=6,
+        fmaps_dim=16,
+        num_heads=2,
+        hidden_size=32,
+        space_depth=1,
+        time_depth=1,
+        num_virtual_tracks=4,
+        corr_n_levels=2,
+        corr_neighbors=4,
+    )
+    t = scene.video.shape[1]
+    q = np.asarray(scene.query_points_3d).copy()[:6]
+    q[:, 0] = 0.0
+    q[-1, 0] = t - 1  # starts in the LAST segment
+
+    def run(late_xyz_offset):
+        qq = q.copy()
+        qq[-1, 1:] += late_xyz_offset
+        args = (
+            jnp.asarray(scene.video), jnp.asarray(scene.videodepth),
+            jnp.asarray(qq), jnp.asarray(scene.intrs), jnp.asarray(scene.extrs),
+        )
+        params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
+            jax.random.PRNGKey(0), args[0][:, :2], args[1][:, :2], args[2],
+            args[3][:, :2], args[4][:, :2],
+        )
+        pred = EvaluationPredictor(
+            model, params, interp_shape=None, grid_size=0, n_iters=1,
+            chunk_frames=2,  # chunk < S: the leak-prone configuration
+        )
+        return np.asarray(pred(*args)["traj"])
+
+    t1 = run(0.0)
+    t2 = run(1e3)  # absurd coords in the not-yet-started track
+    # Early tracks, early frames: independent of the late query's position.
+    np.testing.assert_array_equal(t1[: t - 2, :-1], t2[: t - 2, :-1])

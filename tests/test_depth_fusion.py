@@ -76,6 +76,29 @@ def test_fusion_masks_nonfinite_estimate(rng):
     )
 
 
+def test_fusion_masked_estimate_keeps_sensor_weight(rng):
+    """A masked estimate pixel over VALID sensor depth must not collapse the
+    sensor's weight (the zeroed placeholder would otherwise enter the joint
+    residual as |0 - gt|): with a sharp depth edge under an all-NaN estimate
+    region, the fused output must keep the sensor's edge, not blur it."""
+    gt, rgbs = _scene(rng)
+    # Sharp step edge in the sensor depth.
+    gt = gt.copy()
+    gt[:, :, :, 16:] += 3.0
+    est = gt / 2.0
+    est[:, :, 8:24, 8:24] = np.nan  # estimate fails across the edge
+    fused, _ = fuse_depths(gt, [(est, None)], rgbs)
+    # Inside the masked block, away from its border and away from the edge
+    # itself (the 3x3 smoothing legitimately blurs the one-pixel edge
+    # neighborhood, exactly as in the reference), the sensor must survive.
+    np.testing.assert_allclose(
+        fused[:, :, 10:22, 10:14], gt[:, :, 10:22, 10:14], atol=0.05
+    )
+    np.testing.assert_allclose(
+        fused[:, :, 10:22, 19:22], gt[:, :, 10:22, 19:22], atol=0.05
+    )
+
+
 def test_fusion_no_estimates_returns_sensor_like(rng):
     gt, rgbs = _scene(rng)
     fused, conf = fuse_depths(gt, [], rgbs)

@@ -10,6 +10,13 @@ import sys
 import numpy as np
 import pytest
 
+from tests.reference_compat import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo snapshot not present"
+)
+
+
 REF = "/root/reference"
 
 

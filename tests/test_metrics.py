@@ -11,6 +11,13 @@ import pytest
 
 from mvtracker_tpu.evaluation import metrics as our_metrics
 
+from tests.reference_compat import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo snapshot not present"
+)
+
+
 REF = "/root/reference"
 
 

@@ -282,3 +282,45 @@ def test_corr_knn_reuse(rng):
     # The frozen set approximates the exact search: outputs stay close on
     # an untrained model's small refinement deltas.
     assert np.abs(t1 - t2).max() < 1.0
+
+
+def test_support_memory_respects_track_mask(rng):
+    """Inactive tracks must be invisible through the LoFTR support-memory
+    gnn too: perturbing a masked track's input cannot change active tracks'
+    outputs (same invariant as the virtual-token key mask)."""
+    from mvtracker_tpu.models.updateformer import EfficientUpdateFormer
+
+    m = EfficientUpdateFormer(
+        space_depth=2, time_depth=2, input_dim=24, hidden_size=32,
+        num_heads=2, output_dim=7, num_virtual_tracks=4,
+        support_memory_tokens=8,
+    )
+    x = rng.normal(size=(1, 6, 5, 24)).astype(np.float32)
+    mask = np.ones((1, 6), bool)
+    mask[0, -1] = False
+    p = m.init(jax.random.PRNGKey(0), x, track_mask=jnp.asarray(mask))
+    y1 = m.apply(p, jnp.asarray(x), track_mask=jnp.asarray(mask))
+    x2 = x.copy()
+    x2[0, -1] += 100.0  # garbage in the masked track
+    y2 = m.apply(p, jnp.asarray(x2), track_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(y1[0, :5]), np.asarray(y2[0, :5]))
+
+
+def test_corr_filter_all_invalid_frame(rng):
+    """A frame whose depth is entirely zero (total sensor dropout) must not
+    produce NaNs under corr_filter_invalid_depth, including through the
+    batched small-level kNN path's inter-level padding."""
+    cfg = dict(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=2, time_depth=2, num_virtual_tracks=4,
+        corr_n_levels=3, corr_neighbors=4,
+    )
+    args = list(make_scene(rng, v=2, t=8, h=32, w=48, n=6))
+    depths = np.array(args[1])
+    depths[:, 3] = 0.0  # frame 3 fully invalid in every view
+    args[1] = jnp.asarray(depths)
+    m = MVTracker(corr_filter_invalid_depth=True, **cfg)
+    params = m.init(jax.random.PRNGKey(0), *args, iters=2)
+    out = m.apply(params, *args, iters=2)
+    assert np.isfinite(np.asarray(out["traj"])).all()
+    assert np.isfinite(np.asarray(out["vis"])).all()

@@ -98,6 +98,13 @@ def test_forward_parity(parity_case):
 
 import jax  # noqa: E402  (used inside tests)
 
+from tests.reference_compat import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo snapshot not present"
+)
+
+
 
 def test_convert_cli_roundtrip(tmp_path):
     """torch .pth -> msgpack -> loadable params that run the model."""

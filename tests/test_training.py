@@ -297,3 +297,43 @@ def test_warm_start_strict_and_nonstrict(tmp_path):
         or np.array_equal(np.asarray(flat_after[k]), np.asarray(flat_before[k]))
         for k in flat_after
     )
+
+
+def test_warm_start_migrates_prescan_layout(tmp_path):
+    """msgpack checkpoints from before the updateformer scan refactor
+    (unrolled time_i/sv2p_i/svirt_i/sp2v_i names) are stacked into the
+    scanned 'layers' layout on load — every transformer leaf transfers."""
+    import flax.serialization
+    import flax.traverse_util as tru
+    import jax
+
+    from mvtracker_tpu.training import step as step_lib
+
+    model = tiny_model()  # space_depth == time_depth == 1 -> scanned layout
+    batch = next(iter(tiny_loader()))
+    example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
+    trainer = Trainer(model, TrainConfig(exp_dir=str(tmp_path)))
+    s = step_lib.init_state(model, trainer.optimizer, example, jax.random.PRNGKey(3), iters=1)
+
+    # Rewrite the params into the PRE-refactor layout (unstack layers).
+    flat = tru.flatten_dict(jax.tree.map(np.asarray, s.params), sep="/")
+    old = {}
+    names = {"time": "time", "sv2p": "sv2p", "svirt": "svirt", "sp2v": "sp2v"}
+    for k, v in flat.items():
+        if "/updateformer/layers/" in k:
+            head, rest = k.split("/updateformer/layers/", 1)
+            block, tail = rest.split("/", 1)
+            for i in range(v.shape[0]):
+                old[f"{head}/updateformer/{names[block]}_{i}/{tail}"] = v[i]
+        else:
+            old[k] = v
+    old_tree = tru.unflatten_dict(old, sep="/")
+    path = tmp_path / "old.msgpack"
+    path.write_bytes(flax.serialization.to_bytes(old_tree))
+
+    s2 = step_lib.init_state(model, trainer.optimizer, example, jax.random.PRNGKey(9), iters=1)
+    s2w = trainer.warm_start(s2, str(path))
+    got = tru.flatten_dict(s2w.params, sep="/")
+    want = tru.flatten_dict(s.params, sep="/")
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), k)
