@@ -49,9 +49,14 @@ def main(argv=None):
     dataset = build_dataset(cfg.data)
     loader = PrefetchLoader(
         dataset,
-        batch_size=cfg.data.batch_size,
+        # batch_size is the GLOBAL scene count per step; each process loads
+        # its per-host slice and feeds it as its shard of the global batch
+        # (`parallel.mesh.shard_batch_pytree`).
+        batch_size=max(cfg.data.batch_size // jax.process_count(), 1),
         num_workers=cfg.data.num_workers,
         seed=cfg.data.seed,
+        process_index=jax.process_index() if jax.process_count() > 1 else None,
+        process_count=jax.process_count() if jax.process_count() > 1 else None,
     )
 
     mesh = None

@@ -35,6 +35,8 @@ class PrefetchLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         drop_last: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +48,14 @@ class PrefetchLoader:
         self.epoch = 0
         self.cursor = 0
         self._executor = None
+        # Multi-host DP: each process must feed DIFFERENT scenes (its own
+        # slice of the global batch; see `parallel.mesh.shard_batch_pytree`).
+        # Every process iterates the SAME seeded permutation and takes a
+        # disjoint stride of it, so the global epoch is a partition — the
+        # multi-host analogue of torch's DistributedSampler. The CLI wires
+        # jax.process_index()/process_count() in; None means single-host.
+        self.process_index = process_index
+        self.process_count = process_count
 
     # -- statefulness --------------------------------------------------
     def state_dict(self) -> dict:
@@ -59,9 +69,19 @@ class PrefetchLoader:
     # -- iteration -----------------------------------------------------
     def _order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
-        if not self.shuffle:
-            return np.arange(n)
-        return np.random.default_rng(self.seed + epoch).permutation(n)
+        order = (
+            np.arange(n)
+            if not self.shuffle
+            else np.random.default_rng(self.seed + epoch).permutation(n)
+        )
+        pc = self.process_count
+        if pc is None and self.process_index is not None:
+            raise ValueError("process_index given without process_count")
+        if pc is None:
+            return order
+        pi = self.process_index or 0
+        # Disjoint stride of the shared permutation per process.
+        return order[pi::pc]
 
     def __iter__(self) -> Iterator[dict]:
         while True:

@@ -47,6 +47,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(batch, mesh: Mesh):
-    """Device-put every leaf with its leading axis over the data mesh axis."""
+    """Device-put every leaf with its leading axis over the data mesh axis.
+
+    Single-process: a plain sharded device_put. Multi-host: each process
+    holds only ITS slice of the global batch (the loader stripes scenes per
+    process, `datasets/loader.py::PrefetchLoader(process_index=...)`), so
+    the global array is assembled from process-local shards — device_put
+    cannot place host data onto non-addressable devices.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def to_global(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(to_global, batch)

@@ -337,3 +337,43 @@ def test_warm_start_migrates_prescan_layout(tmp_path):
     want = tru.flatten_dict(s.params, sep="/")
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), k)
+
+
+def test_loader_process_striping():
+    """Multi-host data partition: per-process loaders take disjoint strides
+    of the SAME seeded permutation; the union is the full epoch."""
+    ds = SyntheticSceneDataset(
+        n_scenes=8, cache=True, n_views=2, n_frames=4, height=32, width=32, n_tracks=4
+    )
+    orders = []
+    for pi in range(2):
+        loader = PrefetchLoader(
+            ds, batch_size=1, shuffle=True, seed=5,
+            process_index=pi, process_count=2,
+        )
+        orders.append(loader._order(epoch=0))
+    all_idx = np.concatenate(orders)
+    assert len(set(orders[0]) & set(orders[1])) == 0
+    assert sorted(all_idx.tolist()) == list(range(8))
+    # Same permutation base: single-host order interleaves the two strides.
+    full = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=5)._order(0)
+    np.testing.assert_array_equal(full[0::2], orders[0])
+    np.testing.assert_array_equal(full[1::2], orders[1])
+
+
+def test_shard_batch_global_assembly_matches_device_put():
+    """The multi-host batch-assembly primitive
+    (jax.make_array_from_process_local_data) produces the same global array
+    as device_put on a single process — the path multi-host feeding relies
+    on (`parallel.mesh.shard_batch_pytree`)."""
+    import jax
+
+    from mvtracker_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    sh = mesh_lib.batch_sharding(mesh)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    a = jax.device_put(x, sh)
+    b = jax.make_array_from_process_local_data(sh, x, x.shape)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert b.sharding == sh
