@@ -39,6 +39,20 @@ class ModelConfig:
     corr_add_neighbor_xyz: bool = False
     flow_embed_dim: int = 64
     knn_backend: str = "auto"
+    compute_dtype: str = "float32"  # "bfloat16" for MXU conv/attention
+    corr_filter_invalid_depth: bool = False
+    corr_knn_reuse: bool = False  # one kNN per window (fast, approximate)
+    transformer_scan_unroll: int = 2
+    # LoFTR gnn bank size; None keeps each family's own default
+    # (0 for MVTracker, 100 for the triplane SpaTracker).
+    support_memory_tokens: Optional[int] = None
+    use_point_transformer: bool = False
+    point_transformer_depth: int = 2
+    normalize_scene_in_fwd_pass: bool = False
+    remat: bool = False
+    # Triplane variant (name == "spatracker_multiview") extras.
+    triplane_res: int = 64
+    corr_patch_radius: int = 3
 
 
 @dataclasses.dataclass
@@ -93,6 +107,9 @@ def _apply(obj: Any, key: str, value: Any):
         value = int(value)
     elif isinstance(current, float):
         value = float(value)
+    elif current is None and isinstance(value, str):
+        # Optional fields: infer the type from the literal ("50" -> 50).
+        value = yaml.safe_load(value)
     setattr(obj, leaf, value)
 
 
@@ -152,7 +169,12 @@ def build_model(mc: ModelConfig):
             from mvtracker_tpu.models.mvtracker import MVTracker as cls
         fields = {f.name for f in dataclasses.fields(cls) if f.name != "parent"}
         kwargs = {
-            k: v for k, v in dataclasses.asdict(mc).items() if k in fields and k != "name"
+            k: v
+            for k, v in dataclasses.asdict(mc).items()
+            # None = "keep the model family's own default" (e.g.
+            # support_memory_tokens differs between MVTracker and the
+            # triplane SpaTracker).
+            if k in fields and k != "name" and v is not None
         }
         return cls(**kwargs)
     if mc.name in _MONOCULAR_BASELINES:

@@ -95,3 +95,30 @@ def test_model_zoo_monocular_dispatch():
         m = build_model(dataclasses.replace(ModelConfig(), name=name))
         assert isinstance(m, MonocularToMultiViewAdapter)
         assert m.jit_compatible is False
+
+
+def test_config_new_model_fields_flow_through():
+    """The newer model knobs are settable via dotted overrides, and
+    None-valued fields keep each family's own default."""
+    from mvtracker_tpu.config import build_model, load_config
+
+    cfg = load_config(
+        None,
+        [
+            "model.corr_knn_reuse=true",
+            "model.corr_filter_invalid_depth=true",
+            "model.support_memory_tokens=16",
+            "model.compute_dtype=bfloat16",
+            "model.transformer_scan_unroll=1",
+        ],
+    )
+    m = build_model(cfg.model)
+    assert m.corr_knn_reuse and m.corr_filter_invalid_depth
+    assert m.support_memory_tokens == 16
+    assert m.compute_dtype == "bfloat16"
+    assert m.transformer_scan_unroll == 1
+
+    spat = build_model(load_config(None, ["model.name=spatracker_multiview"]).model)
+    assert spat.support_memory_tokens == 100  # family default preserved
+    mvt = build_model(load_config(None, []).model)
+    assert mvt.support_memory_tokens == 0
