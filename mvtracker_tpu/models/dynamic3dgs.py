@@ -217,7 +217,14 @@ def build_rigidity_refs(state: GaussianState, cfg: D3DGSConfig) -> RigidityRefs:
     replacement for the reference's boolean fancy-indexing)."""
     is_fg = (state.seg_colors[:, 0] > 0.5) & state.active
     c = state.means3d.shape[0]
-    banish = 1e6 * (1.0 + jnp.arange(c, dtype=jnp.float32))[:, None] * jnp.ones((1, 3))
+    # Banish magnitude: far outside any normalized scene (extent O(10)) so
+    # banished slots can never be real points' neighbors, but SMALL enough
+    # that the kNN kernel's shared per-tile centering keeps fp32 precision
+    # — at 1e6 the centered-expansion error (~eps * |r - c|^2 ~ 6e4)
+    # swamped real neighbor distances and returned garbage neighborhoods
+    # whenever a banished slot led a query tile (see `ops/knn.py::_sq_dists`
+    # precision contract).
+    banish = (100.0 + 1e-3 * jnp.arange(c, dtype=jnp.float32))[:, None] * jnp.ones((1, 3))
     pts = jnp.where(is_fg[:, None], state.means3d, banish)
     dists, idx = knn(pts[None], pts[None], k=cfg.knn_neighbors + 1)
     dists, idx = dists[0, :, 1:], idx[0, :, 1:]  # drop self

@@ -85,7 +85,10 @@ def _project_residuals(intrs, extrs, points, obs, weights):
     z = jnp.maximum(cam[..., 2:], 1e-6)
     pix_h = jnp.einsum("vij,vpj->vpi", intrs, cam)
     pix = pix_h[..., :2] / jnp.maximum(pix_h[..., 2:], 1e-6)
-    r = (pix - obs) * weights[..., None]
+    # sqrt(w) on the residual (and on the Jacobians below) so the normal
+    # equations J^T J / J^T r carry weight w ONCE — the solver minimizes
+    # sum_i w_i ||r_i||^2. Scaling both by w would square the weights.
+    r = (pix - obs) * jnp.sqrt(weights)[..., None]
     return r, cam, z
 
 
@@ -109,7 +112,7 @@ def _jacobians(intrs, extrs, cam, z, weights):
         [jnp.broadcast_to(jnp.eye(3), cam.shape[:-1] + (3, 3)), -_hat(cam)], -1
     )  # [V, P, 3, 6]
     # cam point wrt world point: R_v
-    w = weights[..., None, None]
+    w = jnp.sqrt(weights)[..., None, None]  # sqrt: see _project_residuals
     j_cam = (j_pc @ j_ct) * w  # [V, P, 2, 6]
     return j_cam, j_pc * w
 

@@ -68,6 +68,10 @@ def corr_sample(
     single-group case (avoids the slow random-access feature gather); the
     gather+einsum path covers everything else.
     """
+    if backend == "pallas" and groups != 1:
+        # Honor the explicit request instead of silently serving the slow
+        # gather path (the fused kernel is single-group only).
+        raise ValueError("corr backend='pallas' supports groups == 1 only")
     use_pallas = (
         backend in ("auto", "pallas")
         and groups == 1

@@ -36,11 +36,22 @@ def _sq_dists(query: jax.Array, ref: jax.Array) -> jax.Array:
     """Squared distances [B, M, N] from [B, M, 3] x [B, N, 3], fp32.
 
     Computed as |q|^2 - 2 q.r + |r|^2 with the cross term on the MXU.
-    Numerics: points are centered on the per-batch query mean first (the
+    Numerics: points are centered on a shared query point first (the
     expansion suffers catastrophic cancellation for points far from the
     origin), and the cross term runs at HIGHEST precision — TPU's default
     matmul precision is bf16, which is useless for cm-scale distances in
     m-scale scenes.
+
+    PRECISION CONTRACT (all backends, incl. the Pallas kernels' per-tile
+    centering): the expansion's absolute d^2 error is ~eps_fp32 * max
+    |p - center|^2, so queries and the references they care about must
+    span a BOUNDED region (|p - center| up to ~1e3 keeps the error below
+    ~1e-1-scale neighbor distances). Outlier sentinel points are fine as
+    REFERENCES (their own d^2 is huge and excluded anyway) but an outlier
+    QUERY that lands at a tile's centering position corrupts the whole
+    tile — keep sentinel magnitudes moderate (e.g. 1e2, not 1e6; see
+    `models/dynamic3dgs.py::build_rigidity_refs`) or use 1e9 only for
+    reference-side padding.
     """
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
@@ -71,7 +82,21 @@ def _safe_sqrt(d2):
 
 
 def knn_reference(ref: jax.Array, query: jax.Array, k: int):
-    """Plain full-matrix kNN; ground truth for tests. [B,N,3],[B,M,3] -> [B,M,k]."""
+    """Plain full-matrix kNN; ground truth for tests. [B,N,3],[B,M,3] -> [B,M,k].
+
+    k > N follows the same fill contract as the Pallas kernels: ranks
+    beyond the cloud get a huge distance and index 0 (callers treat ranks
+    >= N as padding, `models/mvtracker.py::_corr_features` wrap) — without
+    this, lax.top_k raises and the backends diverge on coarse pyramid
+    levels with fewer points than corr_neighbors.
+    """
+    n = ref.shape[1]
+    if k > n:
+        d, i = knn_reference(ref, query, n)
+        fill = d.shape[:-1] + (k - n,)
+        d = jnp.concatenate([d, jnp.full(fill, _safe_sqrt(_BIG), d.dtype)], -1)
+        i = jnp.concatenate([i, jnp.zeros(fill, i.dtype)], -1)
+        return d, i
     d2 = _sq_dists(query, ref)
     neg_d2, idx = jax.lax.top_k(-d2, k)
     return _safe_sqrt(-neg_d2), idx
@@ -536,13 +561,21 @@ def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
     if backend == "xla":
         return knn_xla(ref, query, k)
     if backend == "pallas":
-        # Large clouds: the fused packed-key kernel (internal ref loop, one
-        # launch per query tile) wins. Small clouds are launch-bound, where
-        # the simpler v1 kernel measures fastest. The chunk adapts downward
-        # for small clouds — the kernel pads the ref set to a chunk
-        # multiple, so a 4096 chunk would stream 4x dead width for a
-        # 1024-point pyramid level.
+        # Default: the fused packed-key kernel (v3 — internal ref loop, one
+        # launch per query tile, whole padded cloud VMEM-resident) measures
+        # fastest at the tracker's shapes; it superseded the v1/v2 kernels,
+        # which remain callable directly (and as the large-cloud fallback
+        # below). The chunk adapts downward for small clouds — the kernel
+        # pads the ref set to a chunk multiple, so a 4096 chunk would
+        # stream 4x dead width for a 1024-point pyramid level.
         n = ref.shape[1]
+        # VMEM guard: the fused kernel pins the padded cloud ([8 sublanes x
+        # n x 4 B] after layout padding) in VMEM per grid cell. Past ~256k
+        # points (~8 MB) that no longer fits alongside the query/output
+        # blocks; use the v2 kernel, which streams ref tiles through the
+        # grid instead.
+        if n > 256 * 1024:
+            return knn_pallas_packed(ref, query, k)
         chunk = 4096 if n >= 4096 else max(512, 1 << (n - 1).bit_length())
         return knn_pallas_fused(ref, query, k, chunk=chunk)
     if backend == "pallas_packed":

@@ -132,3 +132,35 @@ def test_refine_sharded_matches_dense(rng):
     msr0 = float(jnp.mean(r0**2))
     assert msr_sh < msr0 * 1e-4, (msr_sh, msr0)
     assert float(msr_dense) < msr0 * 1e-4
+
+
+def test_weights_are_linear_not_squared(rng):
+    """A weight-2 observation must act exactly like TWO weight-1 duplicates
+    (the solver minimizes sum w * ||r||^2; scaling residual AND Jacobian by
+    w rather than sqrt(w) would make it w^2)."""
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.ops.bundle_adjust import gauss_newton_step
+
+    intrs, extrs, points, obs, weights = make_ba_problem(rng)
+    obs = obs + rng.normal(size=obs.shape).astype(np.float32) * 2.0  # nonzero residuals
+    weights = np.where(weights > 0, 1.0, 0.0).astype(np.float32)
+    # Double the weight of the first half of the points...
+    w2 = weights.copy()
+    half = points.shape[0] // 2
+    w2[:, :half] *= 2.0
+    d_xi_weighted, _, _ = gauss_newton_step(
+        jnp.asarray(intrs), jnp.asarray(extrs), jnp.asarray(points),
+        jnp.asarray(obs), jnp.asarray(w2), eliminate_points=False,
+    )
+    # ...versus physically duplicating those observations at weight 1.
+    points_dup = np.concatenate([points, points[:half]], axis=0)
+    obs_dup = np.concatenate([obs, obs[:, :half]], axis=1)
+    w_dup = np.concatenate([weights, weights[:, :half]], axis=1)
+    d_xi_dup, _, _ = gauss_newton_step(
+        jnp.asarray(intrs), jnp.asarray(extrs), jnp.asarray(points_dup),
+        jnp.asarray(obs_dup), jnp.asarray(w_dup), eliminate_points=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_xi_weighted), np.asarray(d_xi_dup), rtol=1e-4, atol=1e-6
+    )

@@ -150,3 +150,48 @@ def test_knn_sharded_ring_matches_global(rng):
     )
     gathered = np.take_along_axis(dist_full, np.asarray(i_sh), axis=-1)
     np.testing.assert_allclose(np.sort(gathered), np.sort(np.asarray(d_ref)), atol=1e-4)
+
+
+def test_knn_k_exceeds_cloud_fill_contract(rng):
+    """k > N: every backend returns [.., k] with ranks >= N filled by huge
+    distances (the small-pyramid-level contract the model's rank-wrap
+    depends on, `models/mvtracker.py::_corr_features`). lax.top_k would
+    raise without the explicit pad in knn_reference/knn_xla."""
+    ref = rng.normal(size=(1, 5, 3)).astype(np.float32)
+    q = rng.normal(size=(1, 7, 3)).astype(np.float32)
+    for backend in ("reference", "xla"):
+        d, i = knn_mod.knn.knn(jnp.asarray(ref), jnp.asarray(q), 8, backend=backend)
+        assert d.shape == (1, 7, 8) and i.shape == (1, 7, 8)
+        bf_d, bf_i = brute_force(ref, q, 5)
+        np.testing.assert_allclose(np.asarray(d)[..., :5], bf_d, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i)[..., :5], bf_i)
+        assert (np.asarray(d)[..., 5:] > 1e8).all()
+        assert (np.asarray(i)[..., 5:] < 5).all()  # in-range placeholder
+
+
+def test_knn_banished_outlier_queries_do_not_corrupt_real_rows(rng):
+    """The dynamic3dgs banish pattern: moderate-magnitude sentinel slots
+    interleaved with real points (a sentinel leading the query batch) must
+    not corrupt real rows' neighborhoods through the shared centering.
+    This is the kNN precision contract (`ops/knn.py::_sq_dists`): at the
+    old 1e6 banish magnitude ~half the neighbors came back wrong."""
+    c = 96
+    real = rng.normal(size=(c, 3)).astype(np.float32)
+    is_fg = rng.random(c) > 0.3
+    is_fg[0] = False  # a banished slot leads the batch -> it is the center
+    banish = (100.0 + 1e-3 * np.arange(c, dtype=np.float32))[:, None] * np.ones((1, 3), np.float32)
+    pts = np.where(is_fg[:, None], real, banish)
+
+    d, i = knn_mod.knn.knn(jnp.asarray(pts[None]), jnp.asarray(pts[None]), 5, backend="xla")
+    i = np.asarray(i)[0]
+
+    bf_d, bf_i = brute_force(
+        pts[None].astype(np.float64), pts[None].astype(np.float64), 5
+    )
+    # Real rows must match fp64 brute force as SETS per row (fp32 can
+    # legitimately swap the order of near-tied neighbors).
+    rows = np.flatnonzero(is_fg)
+    overlap = np.mean(
+        [len(set(i[r]) & set(bf_i[0][r])) / 5.0 for r in rows]
+    )
+    assert overlap > 0.99, overlap
