@@ -82,7 +82,15 @@ def main(argv=None):
         num_uniformly_sampled_pts=cfg.eval.num_uniformly_sampled_pts,
         n_iters=cfg.eval.n_iters,
     )
-    evaluator = Evaluator(cfg.eval.setting)
+    # '-2dpt' dataset names request per-view 2D TAP-Vid metrics alongside
+    # the 3D ones (reference eval_2dpt flag, `kubric:124-127`).
+    evaluator = Evaluator(
+        cfg.eval.setting,
+        compute_2d_metrics=bool(getattr(dataset, "mode_2d", False))
+        or "-2dpt" in cfg.data.dataset,
+        # TAP-Vid strided protocol evaluates bidirectionally.
+        query_mode=getattr(dataset, "query_mode", "first"),
+    )
     summary, per_seq = evaluator.evaluate_sequence(
         predictor, dataset, max_sequences=cfg.eval.max_sequences
     )

@@ -116,7 +116,12 @@ class GenericSceneDataset:
         intrs = cams["intrinsics"].astype(np.float32)
         extrs = cams["extrinsics"].astype(np.float32)
 
-        view_dirs = sorted(d for d in os.listdir(path) if d.startswith("view_"))
+        # Numeric sort: lexicographic order pairs view_10 with camera row 2
+        # in 10+-view scenes (kubric.py sorts the same way).
+        view_dirs = sorted(
+            (d for d in os.listdir(path) if d.startswith("view_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
         views = self.view_subset or list(range(len(view_dirs)))
 
         rgbs, depths, confs = [], [], []

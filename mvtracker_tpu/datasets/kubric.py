@@ -197,6 +197,23 @@ class KubricMultiViewDataset:
         mode_2d: bool = False,
         split: Optional[str] = None,  # None | "training" | "overfit"
     ):
+        # Split resolution (reference `kubric_multiview_dataset.py:160-164`:
+        # '-training'/'-overfit-on-training' switch data_root to the train/
+        # subdirectory). Flat layouts without a train/ subdir fall back to
+        # the root itself with a warning — silently reading the eval scenes
+        # as training data is exactly the leak this guards against.
+        if split in ("training", "overfit"):
+            train_dir = os.path.join(root, "train")
+            if os.path.isdir(train_dir):
+                root = train_dir
+            else:
+                import logging
+
+                logging.warning(
+                    "kubric split=%r requested but %s has no train/ subdir; "
+                    "using the flat root (train/eval scene sets coincide!)",
+                    split, root,
+                )
         self.root = root
         self.scenes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
@@ -273,6 +290,10 @@ class KubricMultiViewDataset:
         tracks_3d = raw["tracks_3d"]
         occ = raw["occlusion"]
 
+        # Original on-disk view ids, tracked through every subsetting stage
+        # (estimated-depth files live in view_{ORIGINAL}/ directories).
+        orig_views = list(range(video.shape[0]))
+
         novel = None
         if self.novel_view_subset is not None:
             # Reference '-novelviews…' variant: held-out views are removed
@@ -286,6 +307,7 @@ class KubricMultiViewDataset:
                 intrs, extrs = intrs[keep], extrs[keep]
                 occ = occ[keep]
                 raw["tracks_2d"] = raw["tracks_2d"][keep]
+                orig_views = [orig_views[v] for v in keep]
 
         if self.view_subset is not None:
             view_sel = list(self.view_subset)
@@ -304,6 +326,7 @@ class KubricMultiViewDataset:
             extrs = extrs[view_sel]
             occ = occ[view_sel]
             raw["tracks_2d"] = raw["tracks_2d"][view_sel]
+            orig_views = [orig_views[v] for v in view_sel]
 
         t = video.shape[1]
         if self.max_frames is not None and t > self.max_frames:
@@ -324,7 +347,12 @@ class KubricMultiViewDataset:
             scene_path = os.path.join(self.root, self.scenes[idx])
             alt = []
             for vi in range(depth.shape[0]):
-                dpath = os.path.join(scene_path, f"view_{vi}", dirname + ".npy")
+                # Index by ORIGINAL view id: after '-views.../-novelviews...'
+                # subsetting, row vi is on-disk view orig_views[vi] — using
+                # vi here paired view_0/view_1 depth with view 2/3 RGB.
+                dpath = os.path.join(
+                    scene_path, f"view_{orig_views[vi]}", dirname + ".npy"
+                )
                 if not os.path.exists(dpath):
                     raise FileNotFoundError(
                         f"{self.depth_source} depth missing: {dpath}"
@@ -363,6 +391,13 @@ class KubricMultiViewDataset:
         else:
             n_sample = min(self.num_tracks, len(candidates))
             chosen = rng.choice(candidates, size=n_sample, replace=False)
+        if 0 < n_sample < self.num_tracks:
+            # Scarce scenes: top up by resampling WITH replacement so every
+            # datapoint carries exactly num_tracks tracks — ragged N breaks
+            # np.stack in collate() for batch_size > 1.
+            extra = rng.choice(chosen, size=self.num_tracks - n_sample, replace=True)
+            chosen = np.concatenate([chosen, extra])
+            n_sample = self.num_tracks
 
         tracks_3d = tracks_3d[:, chosen]
         visibility = visibility[:, :, chosen]

@@ -112,14 +112,25 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_interruptible(item) -> bool:
+            """put() that re-checks `stop` — a plain blocking put deadlocks
+            the producer forever when the consumer abandons the iterator
+            with the queue full (leaking the thread + pinned batches)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in self:
-                    if stop.is_set():
+                    if not put_interruptible(batch):
                         return
-                    q.put(batch)
             finally:
-                q.put(None)
+                put_interruptible(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()

@@ -105,7 +105,10 @@ class PanopticStudioMultiViewDataset:
 
         ims_path = os.path.join(path, "ims")
         all_views = sorted(os.listdir(ims_path), key=int)
-        views = self.views_to_return or list(range(len(all_views)))
+        # `views` are CAMERA IDS (dir names / annotation rows), not
+        # positions: a dome scene exposing cameras 1/7/14/20 has no ims/0,
+        # so the default must be the ids actually present, not range(V).
+        views = self.views_to_return or [int(d) for d in all_views]
 
         rgbs, depths = [], []
         for v in views:

@@ -144,12 +144,17 @@ def evaluate_predictions(
     static_threshold: float | None = 0.01,
     dynamic_threshold: float | None = 0.1,
     very_dynamic_threshold: float | None = 2.0,
+    query_mode: str = "first",
 ):
     """Stratified sequence evaluation; mirrors reference `metrics.py:303-406`.
 
     Returns (results, results_per_track): dicts keyed
     `all_{any,static,dynamic,very_dynamic}` (+ `all_dynamic-static-mean`),
     metric values scaled by 100 like the reference's published tables.
+
+    query_mode="strided" (TAP-Vid strided protocol): tracks are evaluated
+    BIDIRECTIONALLY from mid-video queries — ground-truth visibility before
+    the query frame is kept instead of masked out.
     """
     n_frames, n_points, _ = gt_tracks.shape
 
@@ -159,8 +164,9 @@ def evaluate_predictions(
         qxyz = gt_tracks[t0, np.arange(n_points)]
         query_points = np.concatenate([t0[:, None], qxyz], axis=-1).astype(np.float32)
 
-    at_or_after = np.arange(n_frames)[:, None] >= query_points[:, 0][None, :]
-    gt_visibilities = gt_visibilities & at_or_after
+    if query_mode == "first":
+        at_or_after = np.arange(n_frames)[:, None] >= query_points[:, 0][None, :]
+        gt_visibilities = gt_visibilities & at_or_after
 
     movement = np.zeros(n_points)
     for p in range(n_points):
@@ -193,7 +199,7 @@ def evaluate_predictions(
             pred_tracks[:, mask][None].astype(np.float32),
             distance_thresholds=list(distance_thresholds),
             survival_distance_threshold=survival_distance_threshold,
-            query_mode="first",
+            query_mode=query_mode,
         )
         results[name] = {
             k.replace("_per_track", ""): float(np.nanmean(v)) * 100 for k, v in m.items()

@@ -181,3 +181,70 @@ def test_sharded_evaluation_merges(tiny_dataset):
     np.testing.assert_allclose(
         merged["all_any"]["ate_visible"], reference["all_any"]["ate_visible"], atol=1e-9
     )
+
+
+def test_summarize_unions_groups_across_sequences():
+    """A metric group absent from sequence 0 (e.g. no very-dynamic tracks
+    there) must still appear in the summary."""
+    from mvtracker_tpu.evaluation.evaluator import Evaluator
+
+    per_seq = [
+        {"all_any": {"ate": 1.0}, "fps": 1.0, "seq_name": "a"},
+        {"all_any": {"ate": 3.0}, "all_dynamic": {"ate": 5.0}, "fps": 1.0, "seq_name": "b"},
+    ]
+    s = Evaluator.summarize(per_seq)
+    assert s["all_any"]["ate"] == 2.0
+    assert s["all_dynamic"]["ate"] == 5.0
+
+
+def test_eval_fps_excludes_compile(tiny_dataset):
+    """The first datapoint of each input shape runs once untimed (compile
+    warmup) before the timed run."""
+    from mvtracker_tpu.evaluation.evaluator import Evaluator
+
+    calls = {"n": 0}
+
+    class Counting(CopyCatPredictor):
+        def __call__(self, *a, **k):
+            calls["n"] += 1
+            return super().__call__(*a, **k)
+
+    ev = Evaluator("kubric-multiview")
+    _, per_seq = ev.evaluate_sequence(Counting(), tiny_dataset)
+    n_seq = len(per_seq)
+    # Same shape throughout the tiny dataset: 1 warmup + n_seq timed calls.
+    assert calls["n"] == n_seq + 1
+
+
+def test_strided_query_mode_evaluates_pre_query_frames():
+    """query_mode='strided' keeps pre-query ground truth (bidirectional
+    TAP-Vid protocol); 'first' masks it."""
+    import numpy as np
+
+    from mvtracker_tpu.evaluation.metrics import evaluate_predictions
+
+    t, n = 8, 4
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(t, n, 3)).astype(np.float32)
+    vis = np.ones((t, n), bool)
+    query_t = np.full(n, 4.0)  # mid-video queries
+    query = np.concatenate(
+        [query_t[:, None], gt[4, np.arange(n)]], axis=1
+    ).astype(np.float32)
+    # Predictions perfect AFTER the query, garbage BEFORE it.
+    pred = gt.copy()
+    pred[:4] += 100.0
+    occ = np.zeros((t, n), bool)
+
+    r_first, _ = evaluate_predictions(
+        gt, vis, pred, occ, query_points=query, query_mode="first",
+        distance_thresholds=(0.5,), static_threshold=None,
+        dynamic_threshold=None, very_dynamic_threshold=None,
+    )
+    r_strided, _ = evaluate_predictions(
+        gt, vis, pred, occ, query_points=query, query_mode="strided",
+        distance_thresholds=(0.5,), static_threshold=None,
+        dynamic_threshold=None, very_dynamic_threshold=None,
+    )
+    assert r_first["all_any"]["pts_within_0.50"] == 100.0
+    assert r_strided["all_any"]["pts_within_0.50"] < 100.0  # pre-query counted

@@ -218,3 +218,45 @@ class TestNameGrammar:
         ds = dataset_from_name("kubric-multiview-v3-views0_1-noise1cm", str(tmp_path))
         assert ds.view_subset == [0, 1]
         assert ds.depth_noise_cm == 1.0
+
+
+def test_duster_depth_follows_view_subset(kubric_dir4):
+    """'-views2_3-duster': estimated depth must come from view_2/view_3
+    directories, not view_0/view_1 (post-subset positional indexing paired
+    the wrong views' depth with the kept views' RGB/cameras)."""
+    root, scene = kubric_dir4
+    scene_path = os.path.join(root, sorted(os.listdir(root))[0])
+    v, t = scene.videodepth.shape[:2]
+    for vi in range(v):
+        # Distinct constant per ORIGINAL view id.
+        d = np.full((t,) + scene.videodepth.shape[2:], float(vi + 1), np.float32)
+        np.save(os.path.join(scene_path, f"view_{vi}", "duster_depth.npy"), d)
+
+    ds = KubricMultiViewDataset.from_name("kubric-multiview-v3-views2_3-duster", root)
+    dp = ds[0]
+    assert dp.videodepth.shape[0] == 2
+    np.testing.assert_array_equal(np.unique(dp.videodepth[0]), [3.0])
+    np.testing.assert_array_equal(np.unique(dp.videodepth[1]), [4.0])
+
+
+def test_track_topup_keeps_static_n(kubric_dir4):
+    """Scenes with fewer candidate tracks than num_tracks resample with
+    replacement so N stays static (ragged N breaks batched collate)."""
+    root, scene = kubric_dir4
+    ds = KubricMultiViewDataset(root, num_tracks=64)
+    dp = ds[0]
+    assert dp.query_points_3d.shape[0] == 64
+    assert dp.trajectory_3d.shape[1] == 64
+
+
+def test_training_split_uses_train_subdir(tmp_path):
+    """'-training' switches to the train/ subdirectory when present
+    (reference `kubric_multiview_dataset.py:160-164`)."""
+    sc = synthetic.render_scene(seed=1, n_views=2, n_frames=3, height=32, width=40, n_tracks=6)
+    write_kubric_scene(sc, str(tmp_path / "eval_scene"))
+    write_kubric_scene(sc, str(tmp_path / "train" / "train_scene_a"))
+    write_kubric_scene(sc, str(tmp_path / "train" / "train_scene_b"))
+    ds_eval = KubricMultiViewDataset.from_name("kubric-multiview-v3", str(tmp_path))
+    ds_train = KubricMultiViewDataset.from_name("kubric-multiview-v3-training", str(tmp_path))
+    assert ds_eval.scenes == ["eval_scene", "train"] or ds_eval.scenes == ["eval_scene"]
+    assert sorted(ds_train.scenes) == ["train_scene_a", "train_scene_b"]

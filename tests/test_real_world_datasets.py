@@ -112,3 +112,30 @@ def test_from_name_grammar(scene, tmp_path):
     write_panoptic_scene(scene, str(root / "panoptic-multiview" / "seq0"))
     ds = dataset_from_name("panoptic-multiview-views0_1", str(root))
     assert ds.views_to_return == [0, 1]
+
+
+def test_panoptic_default_views_are_camera_ids(scene, tmp_path):
+    """Dome scenes expose sparse camera-id-named dirs (ims/0, ims/2, ...);
+    the default view list must be those ids, not range(n_dirs) — positional
+    defaults opened ims/1 on such a scene and crashed."""
+    import shutil
+
+    root = tmp_path / "panoptic" / "seq"
+    write_panoptic_scene(scene, str(root))
+    # Rename camera 1 -> camera 2 (sparse ids), and move its annotation
+    # rows: pad arrays so row index == camera id.
+    shutil.move(str(root / "ims" / "1"), str(root / "ims" / "2"))
+    shutil.move(
+        str(root / "dynamic3dgs_depth" / "depths_01.npy"),
+        str(root / "dynamic3dgs_depth" / "depths_02.npy"),
+    )
+    ann = dict(np.load(root / "tapvid3d_annotations.npz"))
+    for k in ("trajectories_pixelspace", "per_view_visibilities", "extrinsics", "intrinsics"):
+        a = ann[k]
+        ann[k] = np.concatenate([a, a[1:2]], axis=0)  # row 2 := old row 1
+    np.savez(root / "tapvid3d_annotations.npz", **ann)
+
+    ds = PanopticStudioMultiViewDataset(str(tmp_path / "panoptic"), traj_per_sample=8)
+    dp = ds[0]
+    assert dp.video.shape[0] == 2  # cameras 0 and 2
+    np.testing.assert_allclose(dp.videodepth[1], scene.videodepth[1])

@@ -377,3 +377,28 @@ def test_shard_batch_global_assembly_matches_device_put():
     b = jax.make_array_from_process_local_data(sh, x, x.shape)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert b.sharding == sh
+
+
+def test_prefetching_iter_abandonment_unblocks_producer():
+    """Abandoning the iterator mid-stream must not leave the producer thread
+    blocked forever on a full queue (leaked thread + pinned batches)."""
+    import threading
+    import time
+
+    loader = tiny_loader()
+    loader.prefetch = 1
+    # Warm the dataset cache so batches are instant and the producer
+    # reliably reaches the BLOCKING q.put (the deadlock-prone state).
+    for i in range(len(loader.dataset)):
+        _ = loader.dataset[i]
+    it = loader.prefetching_iter()
+    next(it)  # producer running, queue fills
+    time.sleep(1.0)  # let the producer block in q.put on the full queue
+    before = threading.active_count()
+    it.close()  # abandon: generator finally sets the stop event
+    deadline = time.time() + 10
+    while threading.active_count() > before - 1 and time.time() < deadline:
+        time.sleep(0.1)
+    # The producer must have exited (active_count back below the in-stream
+    # level). A blocking q.put would keep it alive past the deadline.
+    assert threading.active_count() <= before - 1
