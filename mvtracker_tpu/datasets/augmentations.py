@@ -23,9 +23,9 @@ import dataclasses
 
 import numpy as np
 
+from mvtracker_tpu import native
 from mvtracker_tpu.datasets.datapoint import (
     Datapoint,
-    _gaussian_blur,
     add_camera_noise,
     aug_depth,
     transform_scene,
@@ -51,13 +51,22 @@ def photometric_augment(
         c = 1.0 + rng.uniform(-contrast, contrast)
         s = 1.0 + rng.uniform(-saturation, saturation)
         x = video[sel]
-        mean = x.mean(axis=(-3, -2, -1), keepdims=True)
-        x = (x - mean) * c + mean  # contrast
-        gray = x.mean(axis=-1, keepdims=True)
-        x = (x - gray) * s + gray  # saturation
-        x = x * b  # brightness
+        # Jitter through the native kernel (C++/OpenMP, numpy fallback);
+        # the group mean is computed here so per-group semantics survive
+        # the kernel's per-image layout.
+        lead = x.shape[:-3]
+        flat = x.reshape((-1,) + x.shape[-3:])
+        n_img = flat.shape[0]
+        mean = np.full(n_img, x.mean(), np.float32)
+        flat = native.photometric_jitter(
+            flat, mean,
+            np.full(n_img, b, np.float32),
+            np.full(n_img, c, np.float32),
+            np.full(n_img, s, np.float32),
+        )
+        x = flat.reshape(lead + x.shape[-3:])
         if rng.uniform() < blur_prob:
-            x = _gaussian_blur(x.swapaxes(-1, -3), 5, 1.0).swapaxes(-1, -3)
+            x = native.gaussian_blur(x.swapaxes(-1, -3), 5, 1.0).swapaxes(-1, -3)
         video[sel] = x
     return dataclasses.replace(dp, video=np.clip(video, 0, 255))
 

@@ -194,7 +194,11 @@ def aug_depth(
     out = depth.copy()
     mean_valid = depth[msk].mean() if msk.any() else 0.0
     out[msk] = depth[msk] * scale_map[msk] + shift_map[msk] * mean_valid
-    out = _gaussian_blur(out, gn_kernel, gn_sigma)
+    # Native C++/OpenMP blur when available (numpy fallback inside);
+    # imported lazily — native's own fallback imports this module.
+    from mvtracker_tpu import native as _native
+
+    out = _native.gaussian_blur(out, gn_kernel, gn_sigma)
     out[~msk] = 0
     return out
 

@@ -105,7 +105,13 @@ class ContactSurfaceTracker:
             verts, faces = load_binary_stl(mesh_path)
             pad = extract_contact_pad_vertices(verts, faces)
             if num_track_points <= len(pad):
-                self.contact_points_local = pad[:num_track_points].copy()
+                # Spread the subset over the whole pad (the reference FKs
+                # surface-covering samples): np.unique's lexicographic order
+                # would cluster pad[:N] in one corner.
+                from mvtracker_tpu.utils.misc import farthest_point_sampling
+
+                sel = farthest_point_sampling(pad, num_track_points)
+                self.contact_points_local = pad[sel].copy()
             else:
                 self.contact_points_local = pad
         else:

@@ -137,7 +137,10 @@ class BatchUploader:
     """Stage episode outputs; flush in batches (size/interval), log failures.
 
     Mirrors the shell pipeline's background `batch_upload_loop`
-    (`run_pipeline_...lossy.sh:950`) with per-episode failure isolation.
+    (`run_pipeline_...lossy.sh:950`) with per-episode failure isolation: a
+    daemon timer thread flushes every `interval_s` even when no new work is
+    staged (the shell loop uploads periodically regardless), and uploads run
+    OUTSIDE the lock so `stage()`/`status()` never block on the network.
     """
 
     def __init__(
@@ -154,9 +157,21 @@ class BatchUploader:
         os.makedirs(staging_dir, exist_ok=True)
         self._pending: list[str] = []
         self._lock = threading.Lock()
-        self._last_flush = time.time()
         self.uploaded: list[str] = []
         self.failed: list[str] = []
+        self._stop = threading.Event()
+        self._timer = threading.Thread(target=self._interval_loop, daemon=True)
+        self._timer.start()
+
+    def _interval_loop(self):
+        while not self._stop.wait(self.interval_s):
+            self.flush()
+
+    def close(self):
+        """Stop the timer and flush what remains."""
+        self._stop.set()
+        self._timer.join(timeout=5)
+        self.flush()
 
     def stage(self, episode_dir: str, episode_key: str):
         dst = os.path.join(self.staging_dir, episode_key)
@@ -165,30 +180,31 @@ class BatchUploader:
         shutil.copytree(episode_dir, dst)
         with self._lock:
             self._pending.append(episode_key)
-            if (
-                len(self._pending) >= self.batch_size
-                or time.time() - self._last_flush >= self.interval_s
-            ):
-                self._flush_locked()
+            do_flush = len(self._pending) >= self.batch_size
+        if do_flush:
+            self.flush()
 
     def flush(self):
+        # Snapshot under the lock, upload outside it: each key leaves
+        # _pending exactly once, so concurrent timer/stage flushes never
+        # double-upload.
         with self._lock:
-            self._flush_locked()
-
-    def _flush_locked(self):
-        for key in list(self._pending):
+            batch = list(self._pending)
+            self._pending.clear()
+        for key in batch:
             src = os.path.join(self.staging_dir, key)
             try:
                 self.store.upload_dir(src, key)
-                self.uploaded.append(key)
-                shutil.rmtree(src)
+                ok = True
             except Exception:
                 logging.exception("upload failed for %s", key)
-                self.failed.append(key)
+                ok = False
                 with open(os.path.join(self.staging_dir, "failed_uploads.txt"), "a") as f:
                     f.write(key + "\n")
-            self._pending.remove(key)
-        self._last_flush = time.time()
+            with self._lock:
+                (self.uploaded if ok else self.failed).append(key)
+            if ok:
+                shutil.rmtree(src)
 
     def status(self) -> dict:
         with self._lock:

@@ -129,8 +129,7 @@ def generate_tracks(
         "right_contact_frames": right_frames,
         "num_frames": t,
         "num_points_per_finger": n_per_finger,
-        **{f"normalized_{k.split('normalized_')[-1]}" if k.startswith("normalized") else k: v
-           for k, v in norm.items()},
+        **norm,
     }
 
 
@@ -258,6 +257,13 @@ def process_episode(
     return {"status": "ok", "episode": episode_dir, **quality}
 
 
+def _process_one_episode(ep: str, out_root: str, kwargs: dict) -> dict:
+    """Top-level worker (a nested closure cannot cross the
+    ProcessPoolExecutor pickle boundary)."""
+    out_dir = os.path.join(out_root, os.path.basename(ep.rstrip("/")))
+    return process_episode(ep, out_dir, **kwargs)
+
+
 def process_episodes_batch(
     episode_dirs: list[str],
     out_root: str,
@@ -276,15 +282,10 @@ def process_episodes_batch(
     failed_log = os.path.join(out_root, "failed_episodes.txt")
     results = {"ok": 0, "skipped": 0, "failed": 0}
 
-    def run_one(ep):
-        out_dir = os.path.join(out_root, os.path.basename(ep.rstrip("/")))
-        return process_episode(ep, out_dir, **kwargs)
-
     if num_workers <= 1:
-        futures = [(ep, None) for ep in episode_dirs]
-        for ep, _ in futures:
+        for ep in episode_dirs:
             try:
-                r = run_one(ep)
+                r = _process_one_episode(ep, out_root, kwargs)
                 results[r["status"]] += 1
             except Exception:
                 results["failed"] += 1
@@ -293,7 +294,10 @@ def process_episodes_batch(
         return results
 
     with ProcessPoolExecutor(max_workers=num_workers) as ex:
-        futs = {ex.submit(run_one, ep): ep for ep in episode_dirs}
+        futs = {
+            ex.submit(_process_one_episode, ep, out_root, kwargs): ep
+            for ep in episode_dirs
+        }
         for fut in as_completed(futs):
             ep = futs[fut]
             try:

@@ -44,7 +44,7 @@ def _load():
             lib.nearest_resize_f32.argtypes = [fp, fp, i64, i64, i64, i64, i64, i64]
             lib.bilinear_resize_ac_f32.argtypes = [fp, fp, i64, i64, i64, i64, i64, i64]
             lib.normalize_rgb_u8_f32.argtypes = [u8p, fp, i64]
-            lib.photometric_jitter_f32.argtypes = [fp, i64, i64, fp, fp, fp]
+            lib.photometric_jitter_f32.argtypes = [fp, i64, i64, fp, fp, fp, fp]
             lib.depth_invalid_fraction_f32.argtypes = [fp, i64]
             lib.depth_invalid_fraction_f32.restype = ctypes.c_double
             _lib = lib
@@ -119,6 +119,36 @@ def normalize_rgb(x: np.ndarray) -> np.ndarray:
         )
         return dst
     return 2.0 * (src.astype(np.float32) / 255.0) - 1.0
+
+
+def photometric_jitter(
+    x: np.ndarray,  # [N, H, W, 3] float32, modified semantics-equal copy out
+    mean: np.ndarray,  # [N] per-image (or per-group, replicated) mean
+    brightness: np.ndarray,  # [N]
+    contrast: np.ndarray,  # [N]
+    saturation: np.ndarray,  # [N]
+) -> np.ndarray:
+    """Contrast/saturation/brightness jitter; exact match of the numpy path
+    in `datasets/augmentations.py::photometric_augment` (mean is supplied by
+    the caller so per-GROUP means survive the per-image kernel layout)."""
+    lib = _load()
+    n, h, w, _ = x.shape
+    out = np.ascontiguousarray(x, np.float32).copy()
+    if lib is not None:
+        lib.photometric_jitter_f32(
+            _fptr(out), n, h * w,
+            _fptr(np.ascontiguousarray(mean, np.float32)),
+            _fptr(np.ascontiguousarray(brightness, np.float32)),
+            _fptr(np.ascontiguousarray(contrast, np.float32)),
+            _fptr(np.ascontiguousarray(saturation, np.float32)),
+        )
+        return out
+    m = mean.reshape(n, 1, 1, 1).astype(np.float32)
+    xc = (out - m) * contrast.reshape(n, 1, 1, 1) + m
+    gray = xc.mean(axis=-1, keepdims=True)
+    return (
+        (xc - gray) * saturation.reshape(n, 1, 1, 1) + gray
+    ) * brightness.reshape(n, 1, 1, 1)
 
 
 def depth_invalid_fraction(depth: np.ndarray) -> float:

@@ -53,7 +53,10 @@ def _draw_disk(img: np.ndarray, x: float, y: float, radius: int, color, filled=T
 
 
 def _draw_line(img: np.ndarray, x0, y0, x1, y1, color, alpha=1.0):
-    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    # Cap the rasterization length: near-camera projections can land at
+    # ~1e8 pixels and a naive linspace would allocate gigabytes.
+    cap = 8 * max(img.shape[0], img.shape[1])
+    n = int(min(max(abs(x1 - x0), abs(y1 - y0)), cap)) + 1
     xs = np.linspace(x0, x1, n).round().astype(int)
     ys = np.linspace(y0, y1, n).round().astype(int)
     h, w, _ = img.shape
@@ -73,20 +76,34 @@ def render_tracks_on_video(
     trail_length: int = 8,
     point_radius: int = 3,
     colors: Optional[np.ndarray] = None,
+    valid: Optional[np.ndarray] = None,  # [T, N] — suppress drawing entirely
 ) -> np.ndarray:
-    """Draw per-frame points + fading trails; returns [T, H, W, 3] uint8."""
+    """Draw per-frame points + fading trails; returns [T, H, W, 3] uint8.
+
+    `visibility` styles the disk (filled vs hollow); `valid` removes a
+    point from the render altogether (behind-camera / non-finite
+    projections must not be drawn at their mirrored or NaN positions).
+    """
     t, n = traj_2d.shape[:2]
     out = np.ascontiguousarray(video.astype(np.uint8)).copy()
+    # Defensive sanitation: callers pass raw projections.
+    traj_2d = np.nan_to_num(traj_2d, nan=-1e6, posinf=1e6, neginf=-1e6)
     if colors is None:
         colors = rainbow_colors(n)
     if visibility is None:
         visibility = np.ones((t, n), bool)
+    if valid is None:
+        valid = np.ones((t, n), bool)
 
     for ti in range(t):
         img = out[ti]
         for pi in range(n):
+            if not valid[ti, pi]:
+                continue
             for back in range(1, min(trail_length, ti) + 1):
                 a, b = ti - back, ti - back + 1
+                if not (valid[a, pi] and valid[b, pi]):
+                    continue
                 alpha = 1.0 - back / (trail_length + 1)
                 _draw_line(
                     img,
@@ -124,11 +141,15 @@ def render_multiview_mosaic(
         pix, z = geo.world_to_pixel_xy_and_camera_z(
             jnp.asarray(traj_3d), jnp.asarray(intrs[vi]), jnp.asarray(extrs[vi])
         )
-        vis = visibility
-        if vis is not None:
-            vis = vis & (np.asarray(z[..., 0]) > 0)
+        pix_np = np.asarray(pix)
+        # Behind-camera / non-finite projections must never be drawn — a
+        # z <= 0 point projects to a point-mirrored (or inf/NaN) pixel
+        # position, regardless of whether a visibility array was given.
+        valid = (np.asarray(z[..., 0]) > 1e-6) & np.isfinite(pix_np).all(axis=-1)
         rendered.append(
-            render_tracks_on_video(video[vi], np.asarray(pix), vis, **kwargs)
+            render_tracks_on_video(
+                video[vi], pix_np, visibility, valid=valid, **kwargs
+            )
         )
 
     cols = min(v, max_cols)

@@ -48,6 +48,11 @@ def log_pointclouds(
         rr.set_time_seconds("frame", ti / fps)
         pts_all, col_all = [], []
         for vi in range(v):
+            # [::stride] + pixel_grid places the ray at (j+0.5)*stride-0.5
+            # while the depth sample sits at pixel j*stride — a deliberate
+            # match of the MODEL's (reference-mirroring) fused-cloud
+            # convention (`model_utils.py:444,463` does exactly this), so
+            # these clouds diagnose what the tracker actually sees.
             d = depths[vi, ti, ::stride, ::stride]
             world = np.asarray(
                 geo.unproject_depth_to_world(

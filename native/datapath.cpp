@@ -47,6 +47,10 @@ void gaussian_blur_f32(float* data, int64_t n, int64_t h, int64_t w,
             int64_t xx = x + k - r;
             if (xx < 0) xx = -xx;                    // reflect
             if (xx >= w) xx = 2 * w - xx - 2;
+            // Re-clamp: for kernel/2 >= w the right reflection can go
+            // negative again (out-of-bounds heap read otherwise).
+            if (xx < 0) xx = 0;
+            if (xx >= w) xx = w - 1;
             acc += g[k] * row[xx];
           }
           tmp[x] = acc;
@@ -61,6 +65,8 @@ void gaussian_blur_f32(float* data, int64_t n, int64_t h, int64_t w,
             int64_t yy = y + k - r;
             if (yy < 0) yy = -yy;
             if (yy >= h) yy = 2 * h - yy - 2;
+            if (yy < 0) yy = 0;
+            if (yy >= h) yy = h - 1;
             acc += g[k] * base[yy * w + x];
           }
           tmp[y] = acc;
@@ -133,27 +139,25 @@ void normalize_rgb_u8_f32(const uint8_t* src, float* dst, int64_t count) {
   }
 }
 
-// Photometric jitter: x = ((x - mean)*contrast + mean - gray)*sat + gray,
-// then *brightness, per [h, w, 3] image; gray/mean computed per image.
+// Photometric jitter, matching datasets/augmentations.py exactly:
+//   xc = (x - mean)*contrast + mean          (mean: caller-supplied, per
+//                                             augmentation GROUP, not image)
+//   xs = (xc - gray)*sat + gray              (gray: channel mean of xc)
+//   out = xs * brightness                    (clamping is the caller's job)
 void photometric_jitter_f32(float* data, int64_t n, int64_t hw,
-                            const float* brightness, const float* contrast,
-                            const float* saturation) {
+                            const float* mean, const float* brightness,
+                            const float* contrast, const float* saturation) {
 #pragma omp parallel for schedule(static)
   for (int64_t img = 0; img < n; ++img) {
     float* p = data + img * hw * 3;
-    double mean = 0.0;
-    for (int64_t i = 0; i < hw * 3; ++i) mean += p[i];
-    mean /= double(hw * 3);
+    const float m = mean[img];
     const float b = brightness[img], ct = contrast[img], s = saturation[img];
     for (int64_t i = 0; i < hw; ++i) {
       float* px = p + i * 3;
-      const float gray0 = (px[0] + px[1] + px[2]) / 3.f;
-      for (int j = 0; j < 3; ++j) {
-        float v = (px[j] - float(mean)) * ct + float(mean);
-        const float gray = gray0;  // gray of the original pixel
-        v = (v - gray) * s + gray;
-        px[j] = std::min(std::max(v * b, 0.f), 255.f);
-      }
+      float vc[3];
+      for (int j = 0; j < 3; ++j) vc[j] = (px[j] - m) * ct + m;
+      const float gray = (vc[0] + vc[1] + vc[2]) / 3.f;
+      for (int j = 0; j < 3; ++j) px[j] = ((vc[j] - gray) * s + gray) * b;
     }
   }
 }

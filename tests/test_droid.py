@@ -257,3 +257,50 @@ def test_batch_uploader_failure_isolation(tmp_path):
     s = up.status()
     assert s["uploaded"] == 2 and s["failed"] == 1
     assert (tmp_path / "staging" / "failed_uploads.txt").read_text().strip() == "bad"
+
+
+def test_batch_uploader_interval_flush_without_new_work(tmp_path):
+    """The interval flush must fire from the background timer even when no
+    further stage() call arrives (the reference's periodic upload loop) —
+    previously a sub-batch staged before a crash was never uploaded."""
+    import time
+
+    from mvtracker_tpu.droid.hub import BatchUploader, LocalStore
+
+    store = LocalStore(str(tmp_path / "store"))
+    up = BatchUploader(store, str(tmp_path / "staging"), batch_size=100, interval_s=0.3)
+    ep = tmp_path / "ep0"
+    ep.mkdir()
+    (ep / "quality.json").write_text("{}")
+    up.stage(str(ep), "ep0")  # below batch_size: no inline flush
+    deadline = time.time() + 10
+    while up.status()["uploaded"] < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    assert up.status()["uploaded"] == 1
+    up.close()
+
+
+def test_process_episodes_batch_multiprocess(tmp_path):
+    """num_workers > 1 must actually process (the worker must cross the
+    ProcessPoolExecutor pickle boundary — a nested closure cannot, which
+    made every episode 'fail' silently)."""
+    eps = []
+    for i in range(2):
+        parent = tmp_path / f"e{i}"
+        parent.mkdir()
+        ep = make_episode(parent, t=10)
+        eps.append(ep)  # distinct parents -> distinct out keys? no:
+    # make_episode hardcodes the basename; rename for distinct output keys.
+    renamed = []
+    for i, ep in enumerate(eps):
+        dst = os.path.join(os.path.dirname(ep), f"episode_{i:03d}")
+        if dst != ep:
+            os.rename(ep, dst)
+        renamed.append(dst)
+    eps = renamed
+    out_root = str(tmp_path / "out")
+    results = pipeline.process_episodes_batch(
+        eps, out_root, num_workers=2, num_track_points=6
+    )
+    assert results == {"ok": 2, "skipped": 0, "failed": 0}, results
+    assert not os.path.exists(os.path.join(out_root, "failed_episodes.txt"))

@@ -62,3 +62,40 @@ def test_log_video_to_tensorboard(tmp_path):
     log_video_to_tensorboard(w, "eval/video", frames, step=1)
     w.close()
     assert any(f.startswith("events") for f in os.listdir(tmp_path))
+
+
+def test_mosaic_handles_behind_camera_points(rng):
+    """Points at/behind the camera plane (z <= 0) must neither crash the
+    renderer (NaN/inf projections) nor be drawn at mirrored positions."""
+    from mvtracker_tpu.viz.mp4 import render_multiview_mosaic
+
+    v, t, h, w, n = 1, 3, 32, 40, 2
+    video = np.zeros((v, t, h, w, 3), np.uint8)
+    intrs = np.tile(np.array([[40.0, 0, 20], [0, 40, 16], [0, 0, 1]]), (v, t, 1, 1))
+    extrs = np.tile(np.eye(4)[:3], (v, t, 1, 1))  # camera at origin, +z fwd
+    traj = np.zeros((t, n, 3), np.float32)
+    traj[:, 0] = [0.0, 0.0, 2.0]  # in front: should draw
+    traj[:, 1] = [0.1, 0.1, -2.0]  # behind: must not draw anywhere
+    # No visibility given: culling must still apply.
+    frames = render_multiview_mosaic(video, traj, intrs, extrs)
+    assert frames.shape == (t, h, w, 3)
+    drawn = (frames != 0).any(axis=-1)
+    assert drawn.any()  # the in-front point was drawn
+    # The behind point mirrors to pixel (18, 14)-ish; nothing may be drawn
+    # outside the in-front point's neighborhood (center 20,16 radius<=4).
+    yy, xx = np.nonzero(drawn.any(axis=0))
+    assert np.all(np.abs(yy - 16) <= 5) and np.all(np.abs(xx - 20) <= 5), (
+        list(zip(yy, xx))[:8]
+    )
+
+
+def test_mosaic_handles_nan_track(rng):
+    from mvtracker_tpu.viz.mp4 import render_multiview_mosaic
+
+    v, t, h, w, n = 1, 2, 16, 16, 1
+    video = np.zeros((v, t, h, w, 3), np.uint8)
+    intrs = np.tile(np.array([[16.0, 0, 8], [0, 16, 8], [0, 0, 1]]), (v, t, 1, 1))
+    extrs = np.tile(np.eye(4)[:3], (v, t, 1, 1))
+    traj = np.full((t, n, 3), np.nan, np.float32)
+    frames = render_multiview_mosaic(video, traj, intrs, extrs)  # must not raise
+    assert (frames == 0).all()
