@@ -97,8 +97,16 @@ def main(argv=None):
             n_tracks=cfg.data.num_tracks,
             static_fraction=1.0,
         )
+        # Same per-host slicing as the main loader: global batch divided
+        # across processes, disjoint scene strides per process.
         static_iter = iter(
-            PrefetchLoader(static_ds, batch_size=cfg.data.batch_size, num_workers=cfg.data.num_workers)
+            PrefetchLoader(
+                static_ds,
+                batch_size=max(cfg.data.batch_size // jax.process_count(), 1),
+                num_workers=cfg.data.num_workers,
+                process_index=jax.process_index() if jax.process_count() > 1 else None,
+                process_count=jax.process_count() if jax.process_count() > 1 else None,
+            )
         )
 
     trainer = Trainer(model, cfg.trainer, mesh=mesh, shard_views=cfg.shard_views)

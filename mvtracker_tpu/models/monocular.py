@@ -36,14 +36,15 @@ def pick_best_view(
     depths: jax.Array,  # [V, T, H, W]
     intrs: jax.Array,  # [V, T, 3, 3]
     extrs: jax.Array,  # [V, T, 3, 4]
-    depth_tol: float = 0.05,
 ) -> tuple[jax.Array, jax.Array]:
     """Assign each query to the view where it is most clearly visible.
 
-    Visibility test per view (reference `monocular_baselines.py:653-680`):
-    project the query at its own frame; in-bounds AND depth-map agreement
-    |z_query - depth(u, v)| within tolerance. Best view = smallest depth
-    error among visible; fallback to view 0.
+    Per view (reference `monocular_baselines.py:653-680` selects the view
+    by best depth-z agreement; no tolerance threshold exists there either):
+    project the query at its own frame; views where it lands out of bounds
+    or behind the camera are excluded (inf error); the best view minimizes
+    the relative |z_query - depth(u, v)| error. Queries invisible in every
+    view fall back to view 0, mirroring the reference's -1e4 masking.
 
     Returns (view_idx [N], pixel_xy [N, 2] in the chosen view).
     """

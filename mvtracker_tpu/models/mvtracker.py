@@ -59,7 +59,12 @@ def compute_scene_normalization(depths, extrs, intrs, max_depth: float = 24.0):
     depths [V, T, H, W] (strided ok), extrs [V, T, 3, 4], intrs [V, T, 3, 3].
     """
     v = depths.shape[0]
-    d0 = jnp.maximum(depths[:, 0], max_depth)  # reference's clamp
+    # NOTE: this RAISES all depths below 24 to 24 — almost certainly meant
+    # to CAP far outliers, but it is exactly what the reference executes
+    # (`_d[_d < max_depth] = max_depth`, `mvtracker.py:466-467`) and the
+    # released checkpoint was produced under it, so it is kept verbatim for
+    # numerical parity. Scale still varies with camera geometry.
+    d0 = jnp.maximum(depths[:, 0], max_depth)  # reference's (quirky) clamp
     world = geo.unproject_depth_to_world(
         d0,
         geo.invert_intrinsics(intrs[:, 0]),

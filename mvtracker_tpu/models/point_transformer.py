@@ -76,8 +76,17 @@ class SerializedAttentionBlock(nn.Module):
         xp = jnp.pad(x, ((0, pad), (0, 0)))
         groups = xp.reshape(-1, g, c)  # [P/G, G, C]
 
+        # Key-side mask: zero-padded rows in the last group must not act as
+        # keys/values (their k/v would come purely from the projection
+        # bias, skewing real points' attention).
+        # (The roll happens BEFORE padding, so padded rows are always the
+        # trailing `pad` rows of xp in both shifted and plain blocks.)
+        key_mask = None
+        if pad:
+            key_mask = (jnp.arange(xp.shape[0]) < p).reshape(-1, g)
+
         y = Attention(self.dim, num_heads=self.num_heads, dim_head=max(c // self.num_heads, 16), dtype=self.dtype, name="attn")(
-            _layer_norm_noaffine(groups).astype(groups.dtype)
+            _layer_norm_noaffine(groups).astype(groups.dtype), key_mask=key_mask
         )
         groups = groups + y
         groups = groups + Mlp(c * 4, c, dtype=self.dtype, name="mlp")(

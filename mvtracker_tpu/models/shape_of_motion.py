@@ -302,8 +302,15 @@ def fit_segment(
             tv = data["tracks3d_valid"]  # [Nt, T]
             n_tr = tr.shape[0]
             sel = jax.random.randint(kt, (cfg.tracks_per_step,), 0, n_tr)
+            # Attach each track at its FIRST VALID frame (as documented):
+            # frame-0 entries of late-appearing tracks are placeholders and
+            # would anchor the canonical coordinate at garbage positions.
+            first_valid = jnp.argmax(tv[sel].astype(jnp.int32), axis=1)  # [K]
+            anchor = jnp.take_along_axis(
+                tr[sel], first_valid[:, None, None], axis=1
+            )[:, 0]
             pred = track_points(
-                p, tr[sel, 0], jnp.zeros((cfg.tracks_per_step,), jnp.int32),
+                p, anchor, first_valid.astype(jnp.int32),
                 jnp.asarray([t]).reshape(1), topk=8,
             )[:, 0]
             w_valid = tv[sel, t].astype(im.dtype)[:, None]

@@ -107,7 +107,14 @@ class MultiViewSpaTracker(MVTracker):
             y = jnp.broadcast_to(grid[None, :, axes[1]], (t, n))
             feats.append(geo.bilinear_sample2d(pl, x, y))  # [T, N, C]
         feats = sum(feats) / 3.0
-        return jnp.take_along_axis(feats, query_t[None, :, None], axis=0)[0]
+        # mode="clip": chunked long-video tracking seeds not-yet-started
+        # tracks with a start time past the segment length; the default
+        # out-of-range gather fill is NaN, which would spread to every
+        # track through attention (same fix as the base class,
+        # `mvtracker.py::_feat_init`).
+        return jnp.take_along_axis(
+            feats, query_t[None, :, None], axis=0, mode="clip"
+        )[0]
 
     # -- correlation ---------------------------------------------------
 

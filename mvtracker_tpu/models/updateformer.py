@@ -239,6 +239,16 @@ class EfficientUpdateFormer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, track_mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.add_space_attn and (
+            self.space_depth <= 0 or self.time_depth % self.space_depth != 0
+        ):
+            # The interleave below needs an integer interval; the reference
+            # has the same implicit contract (`blocks.py:689` asserts only
+            # >=, then crashes on non-divisible depths too).
+            raise ValueError(
+                f"time_depth ({self.time_depth}) must be a positive multiple "
+                f"of space_depth ({self.space_depth}) when add_space_attn"
+            )
         b, n, t, _ = x.shape
         if self.dtype is not None:
             x = x.astype(self.dtype)

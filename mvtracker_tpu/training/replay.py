@@ -21,7 +21,11 @@ def load_crash_batch(path_or_dir: str) -> dict:
     import numpy as np
 
     if os.path.isdir(path_or_dir):
-        candidates = sorted(glob.glob(os.path.join(path_or_dir, "batch_step*.npz")))
+        # Numeric sort: lexicographic order would pick step 999 over 1500.
+        candidates = sorted(
+            glob.glob(os.path.join(path_or_dir, "batch_step*.npz")),
+            key=lambda p: int(os.path.basename(p)[len("batch_step"):-len(".npz")]),
+        )
         if not candidates:
             raise FileNotFoundError(f"no crash dumps in {path_or_dir}")
         path_or_dir = candidates[-1]

@@ -394,14 +394,20 @@ class Trainer:
             # Crash forensics: checkpoint + dump batch (reference :741-766).
             crash_dir = os.path.join(cfg.exp_dir, "crash")
             os.makedirs(crash_dir, exist_ok=True)
+            # Independent best-effort saves: a batch-dump failure (incl.
+            # `batch` unbound when the very first data fetch raised) must
+            # not also forfeit the crash checkpoint.
             try:
                 np.savez(
                     os.path.join(crash_dir, f"batch_step{step}.npz"),
                     **{k: np.asarray(v) for k, v in batch.items()},
                 )
+            except Exception:
+                logging.exception("failed to dump the crash batch")
+            try:
                 self.save(state, step)
             except Exception:
-                logging.exception("failed to save crash artifacts")
+                logging.exception("failed to save the crash checkpoint")
             raise
         finally:
             if profiler is not None:

@@ -139,3 +139,33 @@ def test_small_chunk_placeholder_queries_stay_inert(scene):
     t2 = run(1e3)  # absurd coords in the not-yet-started track
     # Early tracks, early frames: independent of the late query's position.
     np.testing.assert_array_equal(t1[: t - 2, :-1], t2[: t - 2, :-1])
+
+
+def test_chunked_triplane_variant_stays_finite(scene):
+    """The triplane SpaTracker through the chunked predictor with a
+    late-starting query: the inert placeholder start time gathers past the
+    segment's frame axis, which NaN-filled feat_init pre-fix."""
+    import jax
+
+    from mvtracker_tpu.models.spatracker import MultiViewSpaTracker
+
+    model = MultiViewSpaTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, triplane_res=16, support_memory_tokens=0,
+    )
+    q = _queries_with_late_starts(scene)
+    args = (
+        jnp.asarray(scene.video), jnp.asarray(scene.videodepth), jnp.asarray(q),
+        jnp.asarray(scene.intrs), jnp.asarray(scene.extrs),
+    )
+    params = jax.jit(lambda k, *a: model.init(k, *a, iters=1))(
+        jax.random.PRNGKey(0), args[0][:, :8], args[1][:, :8], args[2],
+        args[3][:, :8], args[4][:, :8],
+    )
+    pred = EvaluationPredictor(
+        model, params, interp_shape=None, grid_size=0, n_iters=1, chunk_frames=8
+    )
+    out = pred(*args)
+    assert np.isfinite(np.asarray(out["traj"])).all()
+    assert np.isfinite(np.asarray(out["vis"])).all()

@@ -324,3 +324,17 @@ def test_corr_filter_all_invalid_frame(rng):
     out = m.apply(params, *args, iters=2)
     assert np.isfinite(np.asarray(out["traj"])).all()
     assert np.isfinite(np.asarray(out["vis"])).all()
+
+
+def test_nondivisible_attention_depths_raise():
+    """time_depth not a multiple of space_depth used to crash deep inside
+    the layer loop (ZeroDivisionError / IndexError); now a clear error."""
+    args = make_scene(np.random.default_rng(0), v=2, t=6, h=32, w=32, n=4)
+    for td, sd in ((6, 4), (4, 6)):
+        m = MVTracker(
+            sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+            space_depth=sd, time_depth=td, num_virtual_tracks=4,
+            corr_n_levels=2, corr_neighbors=4,
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            m.init(jax.random.PRNGKey(0), *args, iters=1)

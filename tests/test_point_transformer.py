@@ -83,3 +83,24 @@ def test_mvtracker_with_point_transformer(rng):
     out = model.apply(params, *args, iters=1)
     assert out["traj"].shape == (4, 4, 3)
     assert np.isfinite(np.asarray(out["traj"])).all()
+
+
+def test_padding_rows_do_not_leak_into_attention(rng):
+    """With P < group_size (one padded group), the block must equal plain
+    attention over just the real rows — zero-pad rows used to contribute
+    bias-derived keys/values."""
+    import jax
+
+    from mvtracker_tpu.models.point_transformer import SerializedAttentionBlock
+
+    p, c, g = 40, 32, 128
+    x = rng.normal(size=(p, c)).astype(np.float32)
+    blk = SerializedAttentionBlock(dim=c, group_size=g)
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_padded = blk.apply(params, jnp.asarray(x))
+
+    blk_tight = SerializedAttentionBlock(dim=c, group_size=p)  # no padding
+    out_tight = blk_tight.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out_padded), np.asarray(out_tight), atol=1e-5
+    )
