@@ -631,20 +631,11 @@ def extract_tracks(
     if depths is None:
         vis = np.ones((t_total, n), bool)
     else:
-        vis = np.zeros((t_total, n), bool)
-        v_views = depths.shape[0]
-        tr = np.asarray(tracks)
-        for vi in range(v_views):
-            k_mat, e = intrs[vi], extrs[vi]
-            p_cam = tr @ e[:3, :3].T + e[:3, 3]
-            z = p_cam[..., 2]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                x = np.clip((p_cam[..., 0] * k_mat[0, 0]) / z + k_mat[0, 2], 0, depths.shape[3] - 1)
-                y = np.clip((p_cam[..., 1] * k_mat[1, 1]) / z + k_mat[1, 2], 0, depths.shape[2] - 1)
-            xi, yi = x.astype(int), y.astype(int)
-            d = depths[vi, np.arange(t_total)[:, None], yi, xi]
-            diff = z - d
-            vis |= (z > 0) & (diff >= 0) & (diff <= vis_threshold) & (d > 0)
+        from mvtracker_tpu.utils.misc import depth_ztest_visibility
+
+        vis = depth_ztest_visibility(
+            np.asarray(tracks), depths, intrs, extrs, vis_threshold
+        )
     return np.asarray(tracks), vis
 
 
