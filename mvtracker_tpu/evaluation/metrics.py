@@ -77,6 +77,81 @@ def compute_tapvid_metrics(
     return metrics
 
 
+def compute_tapvid_metrics_original(
+    query_points: np.ndarray,  # [b, n, 3] (t, y, x) raster coords
+    gt_occluded: np.ndarray,  # [b, n, t] bool
+    gt_tracks: np.ndarray,  # [b, n, t, 2] (x, y)
+    pred_occluded: np.ndarray,  # [b, n, t] bool
+    pred_tracks: np.ndarray,  # [b, n, t, 2]
+    query_mode: str,
+) -> dict[str, np.ndarray]:
+    """The DeepMind TAP-Vid reference implementation, kept verbatim in
+    semantics as an independent numerical oracle for `compute_tapvid_metrics`
+    (reference `metrics.py:174-300` keeps the same redundancy).
+
+    Axis convention is the ORIGINAL's ([b, n, t], pixel thresholds
+    {1,2,4,8,16}, query as (t, y, x)) — NOT this module's [B, T, N]
+    convention. Metrics are per-video aggregates (pooled over points), not
+    per-track; the two implementations therefore agree exactly whenever the
+    per-track weighting coincides with pooled weighting (e.g. single-track
+    videos), which is what `tests/test_metrics_original.py` asserts on
+    randomized inputs.
+    """
+    metrics: dict[str, np.ndarray] = {}
+    # Eval-frame selection ("fixed bug" from co-tracker#20: index by query
+    # frame through an eye matrix rather than a range comparison).
+    eye = np.eye(gt_tracks.shape[2], dtype=np.int32)
+    if query_mode == "first":
+        query_frame_to_eval_frames = np.cumsum(eye, axis=1) - eye
+    elif query_mode == "strided":
+        query_frame_to_eval_frames = 1 - eye
+    else:
+        raise ValueError("Unknown query mode " + query_mode)
+
+    query_frame = np.round(query_points[..., 0]).astype(np.int32)
+    evaluation_points = query_frame_to_eval_frames[query_frame] > 0  # [b, n, t]
+
+    # NOTE: denominator pools over the WHOLE batch (the original's exact
+    # behavior; only meaningful per-video at b=1).
+    occ_acc = np.sum(
+        np.equal(pred_occluded, gt_occluded) & evaluation_points, axis=(1, 2)
+    ) / np.sum(evaluation_points)
+    metrics["occlusion_accuracy"] = occ_acc
+
+    visible = np.logical_not(gt_occluded)
+    pred_visible = np.logical_not(pred_occluded)
+    all_frac_within = []
+    all_jaccard = []
+    for thresh in [1, 2, 4, 8, 16]:
+        within_dist = np.sum(
+            np.square(pred_tracks - gt_tracks), axis=-1
+        ) < np.square(thresh)
+        is_correct = np.logical_and(within_dist, visible)
+
+        count_correct = np.sum(is_correct & evaluation_points, axis=(1, 2))
+        count_visible_points = np.sum(visible & evaluation_points, axis=(1, 2))
+        frac_correct = count_correct / count_visible_points
+        metrics["pts_within_" + str(thresh)] = frac_correct
+        all_frac_within.append(frac_correct)
+
+        true_positives = np.sum(
+            is_correct & pred_visible & evaluation_points, axis=(1, 2)
+        )
+        # tp / (tp + fp + fn) with tp + fn = gt-visible count.
+        gt_positives = np.sum(visible & evaluation_points, axis=(1, 2))
+        false_positives = (~visible) & pred_visible
+        false_positives = false_positives | ((~within_dist) & pred_visible)
+        false_positives = np.sum(false_positives & evaluation_points, axis=(1, 2))
+        jaccard = true_positives / (gt_positives + false_positives)
+        metrics["jaccard_" + str(thresh)] = jaccard
+        all_jaccard.append(jaccard)
+    metrics["average_jaccard"] = np.mean(np.stack(all_jaccard, axis=1), axis=1)
+    metrics["average_pts_within_thresh"] = np.mean(
+        np.stack(all_frac_within, axis=1), axis=1
+    )
+    return metrics
+
+
 def compute_metrics(
     query_points: np.ndarray,
     gt_occluded: np.ndarray,

@@ -138,7 +138,12 @@ def consume_stats(intermediates: dict):
 def window_starts(num_frames: int, window_len: int) -> list[int]:
     """Static sliding-window start frames; mirrors the reference loop
     condition `while w_idx_start < num_frames - S // 2` with hop S/2
-    (`mvtracker/mvtracker.py:537,696`), anchored at frame 0."""
+    (`mvtracker/mvtracker.py:537,696`), anchored at frame 0.
+
+    At runtime the anchor is `min(query_t)` like the reference
+    (`mvtracker.py:531`); these frame-0 starts are the static worst case
+    (the anchor is added as a traced offset, and windows past the dynamic
+    count are masked out of outputs and loss via `window_valid`)."""
     hop = window_len // 2
     return list(range(0, max(num_frames - hop, 1), hop))
 
@@ -591,8 +596,18 @@ class MVTracker(nn.Module):
         context = self._build_context(fmaps, depths_strided, intrs, extrs)
         feat_init = self._feat_init(context, query_t, query_xyz)
 
+        # Window anchor: the earliest query time, like the reference
+        # (`mvtracker.py:531` `w_idx_start = query_points_t_.min()`). The
+        # anchor is a traced scalar; the window COUNT stays static at the
+        # frame-0 worst case, and windows the reference would not execute
+        # (start >= T - hop, given the anchor) are masked out of outputs
+        # and loss via `n_exec` / `window_valid`.
+        qt_min = jnp.min(query_t)
         starts = window_starts(t, s)
         n_wind = len(starts)
+        starts_dyn = qt_min + jnp.asarray(starts, jnp.int32)  # [W]
+        # Number of windows the reference's `while w < T - hop` loop runs.
+        n_exec = jnp.clip((t - hop - qt_min + hop - 1) // hop, 1, n_wind)
 
         def window_step(mdl, carry, const, w_start):
             """One sliding window; scanned with shared params.
@@ -600,16 +615,18 @@ class MVTracker(nn.Module):
             carry: (coords_last [S,N,3], vis_last [S,N]) from previous window.
             """
             coords_last, vis_last = carry
-            context_c, feat_init_c, query_t_c, query_xyz_c = const
+            context_c, feat_init_c, query_t_c, query_xyz_c, qt_min_c = const
 
             frame_idx = jnp.minimum(w_start + jnp.arange(s), t - 1)  # [S]
-            is_first = w_start == 0
+            is_first = w_start == qt_min_c
 
             # Active set (reference p_idx_end: `mvtracker.py:538-541`) and
-            # chained set (processed in a previous window). query_t >= 0, so
-            # `chained` is automatically empty in the first window.
+            # chained set: points processed in a previous window, i.e. active
+            # there — query_t < prev_start + S = w_start + (S - hop)
+            # (reference p_idx_start = previous window's p_idx_end,
+            # `mvtracker.py:648,698`). Empty in the first window.
             active = query_t_c < w_start + s  # [N]
-            chained = query_t_c < w_start
+            chained = (query_t_c < w_start + (s - hop)) & jnp.logical_not(is_first)
 
             # coords/vis init with window chaining (`mvtracker.py:647-655`).
             base_coords = jnp.broadcast_to(query_xyz_c[None], (s, n, 3))
@@ -628,9 +645,9 @@ class MVTracker(nn.Module):
             # Track-mask feature: the reference zeroes the global mask for
             # frames consumed by earlier windows (`mvtracker.py:695`), which
             # reduces to cutoff = query_t in the first window, else
-            # max(query_t, w_start + S/2).
+            # max(query_t, prev_start + S) = max(query_t, w_start + S - hop).
             cutoff = jnp.where(
-                is_first, query_t_c, jnp.maximum(query_t_c, w_start + hop)
+                is_first, query_t_c, jnp.maximum(query_t_c, w_start + (s - hop))
             )
             track_mask = (frame_idx[:, None] >= cutoff[None, :]).astype(jnp.float32)
 
@@ -658,23 +675,25 @@ class MVTracker(nn.Module):
             jnp.broadcast_to(query_xyz[None], (s, n, 3)),
             jnp.full((s, n), 10.0, jnp.float32),
         )
-        const = (context, feat_init, query_t, query_xyz)
+        const = (context, feat_init, query_t, query_xyz, qt_min)
         _, (all_coords, all_vis, all_active) = scanned(
-            self, carry0, const, jnp.asarray(starts)
+            self, carry0, const, starts_dyn
         )
         # all_coords: [W, iters, S, N, 3]; all_vis: [W, S, N]; all_active: [W, N]
 
-        # Compose the [T]-indexed outputs: for each frame, the LAST window
-        # covering it wins (the reference overwrites the overlap,
-        # `mvtracker.py:692-693`); inactive points keep zeros, exactly like
-        # the reference's untouched placeholder rows (`mvtracker.py:528-529`).
-        t_idx = np.arange(t)
-        w_of_t = np.minimum(t_idx // hop, n_wind - 1)  # [T] static
-        local_s = t_idx - w_of_t * hop  # [T] static, < S by construction
+        # Compose the [T]-indexed outputs: for each frame, the LAST EXECUTED
+        # window covering it wins (the reference overwrites the overlap,
+        # `mvtracker.py:692-693`); frames before the anchor and inactive
+        # points keep zeros, exactly like the reference's untouched
+        # placeholder rows (`mvtracker.py:528-529`).
+        t_idx = jnp.arange(t)
+        w_of_t = jnp.clip((t_idx - qt_min) // hop, 0, n_exec - 1)  # [T]
+        local_s = jnp.clip(t_idx - (qt_min + w_of_t * hop), 0, s - 1)  # [T]
         final_coords = all_coords[:, -1]  # [W, S, N, 3]
         traj = final_coords[w_of_t, local_s]  # [T, N, 3]
         vis = jax.nn.sigmoid(all_vis[w_of_t, local_s])  # [T, N]
-        active_t = all_active[w_of_t]  # [T, N]
+        covered = (t_idx >= qt_min)[:, None]  # [T, 1] frames before anchor: zeros
+        active_t = all_active[w_of_t] & covered  # [T, N]
         traj = jnp.where(active_t[..., None], traj, 0.0)
         vis = jnp.where(active_t, vis, 0.0)
 
@@ -689,7 +708,10 @@ class MVTracker(nn.Module):
             out["train_data"] = {
                 "coord_predictions": all_coords,  # [W, iters, S, N, 3]
                 "vis_predictions": all_vis,  # [W, S, N]
-                "window_starts": np.asarray(starts),
+                "window_starts": starts_dyn,  # [W] traced (anchored at min query_t)
+                # Windows the reference's while-loop would actually execute;
+                # the rest are padding and must not enter the loss.
+                "window_valid": jnp.arange(n_wind) < n_exec,  # [W]
                 "window_active": all_active,  # [W, N]
             }
         return out

@@ -16,20 +16,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from mvtracker_tpu.utils.geometry import reduce_masked_mean
 
 
 def window_gt(
     gt: jax.Array,  # [T, ...] per-frame ground truth
-    window_starts: np.ndarray,  # [W] static
+    window_starts: jax.Array,  # [W] (may be traced: anchored at min query_t)
     window_len: int,
 ) -> jax.Array:
     """Slice per-frame GT into [W, S, ...] windows with clamped frame indices."""
     t = gt.shape[0]
-    idx = np.minimum(
-        window_starts[:, None] + np.arange(window_len)[None, :], t - 1
+    idx = jnp.minimum(
+        jnp.asarray(window_starts)[:, None] + jnp.arange(window_len)[None, :], t - 1
     )  # [W, S]
     return gt[idx]
 
@@ -37,26 +37,29 @@ def window_gt(
 def window_validity(
     valid: jax.Array,  # [T, N] bool/float — GT per-frame track validity
     query_t: jax.Array,  # [N]
-    window_starts: np.ndarray,
+    window_starts: jax.Array,  # [W] (may be traced)
     window_len: int,
     window_active: jax.Array,  # [W, N] bool
     num_frames: int,
+    window_valid: jax.Array | None = None,  # [W] executed-window mask
 ) -> jax.Array:
-    """[W, S, N] validity: GT-valid AND t >= query_t AND real frame AND active.
+    """[W, S, N] validity: GT-valid AND t >= query_t AND real frame AND active
+    AND (when given) an executed window.
 
     The `t >= query_t` zeroing mirrors reference `cli/train.py:114-117`;
-    the frame/active masking replaces the reference's dynamic slicing
-    (`cli/train.py:143-157`).
+    the frame/active/window masking replaces the reference's dynamic slicing
+    (`cli/train.py:143-157`) and dynamic window count (`mvtracker.py:537`).
     """
-    w = len(window_starts)
     s = window_len
-    frame_no = window_starts[:, None] + np.arange(s)[None, :]  # [W, S] unclamped
-    real = jnp.asarray(frame_no < num_frames)  # [W, S]
-    v = window_gt(valid.astype(jnp.float32), window_starts, s)  # [W, S, N]
-    started = (
-        jnp.asarray(frame_no)[:, :, None] >= query_t[None, None, :]
-    )  # [W, S, N]
-    return v * real[:, :, None] * started * window_active[:, None, :].astype(jnp.float32)
+    starts = jnp.asarray(window_starts)
+    frame_no = starts[:, None] + jnp.arange(s)[None, :]  # [W, S] unclamped
+    real = frame_no < num_frames  # [W, S]
+    v = window_gt(valid.astype(jnp.float32), starts, s)  # [W, S, N]
+    started = frame_no[:, :, None] >= query_t[None, None, :]  # [W, S, N]
+    out = v * real[:, :, None] * started * window_active[:, None, :].astype(jnp.float32)
+    if window_valid is not None:
+        out = out * window_valid.astype(jnp.float32)[:, None, None]
+    return out
 
 
 def sequence_loss_3d(
@@ -67,6 +70,7 @@ def sequence_loss_3d(
     dmin: float = 0.1,
     dmax: float = 65.0,
     dz: float = 128.0,
+    window_valid: jax.Array | None = None,  # [W] executed-window mask
 ) -> jax.Array:
     """Discounted multi-iteration L1 flow loss.
 
@@ -74,7 +78,8 @@ def sequence_loss_3d(
     iteration i of I, weight gamma^(I-i-1); the z channel of both pred and GT
     is renormalized (z-dmin)/(dmax-dmin)*Dz; L1 averaged over xyz then
     masked-meaned over valid (window, frame, point); averaged over
-    iterations; averaged over windows.
+    iterations; averaged over EXECUTED windows (the reference's Python list
+    has exactly that many entries).
     """
     n_wind, n_iters = coord_predictions.shape[:2]
     z_scale = dz / (dmax - dmin)
@@ -93,7 +98,10 @@ def sequence_loss_3d(
         # Masked mean per window, then summed over windows below.
         per_window = reduce_masked_mean(l1, valids_w, axis=(1, 2))  # [W]
         total = total + w_i * per_window
-    return jnp.mean(total / n_iters)
+    if window_valid is None:
+        return jnp.mean(total / n_iters)
+    wv = window_valid.astype(total.dtype)
+    return jnp.sum(total * wv / n_iters) / jnp.maximum(jnp.sum(wv), 1.0)
 
 
 def balanced_ce_loss(
@@ -134,17 +142,20 @@ def tracking_loss(
 
     Returns (total, dict of components).
     """
-    starts = np.asarray(train_data["window_starts"])
+    starts = jnp.asarray(train_data["window_starts"])
+    window_valid = train_data.get("window_valid")
     s = train_data["coord_predictions"].shape[2]
     valids_w = window_validity(
-        valid, query_t, starts, s, train_data["window_active"], num_frames
+        valid, query_t, starts, s, train_data["window_active"], num_frames,
+        window_valid=window_valid,
     )
     traj_gt_w = window_gt(traj_gt, starts, s)
     vis_gt_w = window_gt(vis_gt.astype(jnp.float32), starts, s)
 
     xyz_loss = (
         sequence_loss_3d(
-            train_data["coord_predictions"], traj_gt_w, valids_w, gamma=gamma
+            train_data["coord_predictions"], traj_gt_w, valids_w, gamma=gamma,
+            window_valid=window_valid,
         )
         * track_upscaling_factor
     )

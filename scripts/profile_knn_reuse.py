@@ -57,7 +57,9 @@ def main():
             t0 = time.perf_counter()
             for _ in range(reps):
                 tr, _ = fwd(params, *args)
-            float(tr[0, 0, 0])
+            # Block on the final dispatch explicitly: in-order execution of
+            # the queued calls is a TPU property, not a backend guarantee.
+            jax.block_until_ready(tr)
             return (time.perf_counter() - t0) / reps
 
         timed(3)

@@ -20,6 +20,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: most of the suite's wall time is XLA CPU
+# compilation of the scanned model graphs, which are identical run to run.
+# With a warm cache the full suite drops from ~24 min to a few minutes on
+# this 2-core host. The directory is gitignored; safe to delete any time.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
