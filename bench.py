@@ -10,6 +10,17 @@ The reference publishes no frames/s numbers (BASELINE.md); `vs_baseline` is
 reported against the first recorded value of this same benchmark
 (BENCH_SELF_BASELINE.json), i.e. relative progress across rounds.
 
+v2 adds auditable context to the same JSON line:
+- fwd_ms:            median forward latency of the headline config
+- fwd_tflops:        XLA cost-analysis FLOPs of one forward / 1e12
+- achieved_tflops_s: fwd_tflops / step_seconds
+- mfu:               achieved / chip peak (bf16) for the detected chip
+- train_step_ms / train_steps_per_s: full jitted train step (fwd+bwd+adamw)
+                     at the overfit config (2v x 12f x 64^2, 32 tracks)
+- eval_fps:          EvaluationPredictor frames/s WITH per-view support
+                     grids (grid_size=5), the reference's eval-time path
+                     (`evaluator_3dpt.py:496-524` measures this FPS)
+
 Prints exactly ONE JSON line.
 """
 
@@ -18,6 +29,34 @@ import os
 import time
 
 import numpy as np
+
+# Approximate peak dense bf16 matmul throughput per chip, FLOP/s.
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,  # trillium
+    "v6e": 918e12,
+}
+
+
+def chip_peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def cost_analysis_flops(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -32,8 +71,11 @@ def main():
     from __graft_entry__ import _make_scene
     from mvtracker_tpu.models.mvtracker import MVTracker
 
+    # ------------------------------------------------------------------
+    # Headline: flagship forward throughput.
     # Benchmark config: 4 views (the reference's standard kubric eval uses
     # views 0-3), 24 frames at 256x256, 256 query points.
+    # ------------------------------------------------------------------
     v, t, h, w, n = 4, 24, 256, 256, 256
     rng = np.random.default_rng(0)
     # bf16 compute matches the reference's bf16-mixed precision setting
@@ -64,8 +106,66 @@ def main():
 
     timed_run(3)  # secondary warmup (autotuning, tunnel)
     step = min(timed_run(10), timed_run(10))
-
     value = n * t / step
+
+    # FLOPs / MFU from XLA's own cost model of the compiled graph.
+    flops = cost_analysis_flops(fwd.lower(params, *args).compile())
+    peak = chip_peak_flops(jax.devices()[0])
+    achieved = flops / step if flops else None
+    mfu = achieved / peak if (achieved and peak) else None
+
+    # ------------------------------------------------------------------
+    # Train step (fwd + bwd + AdamW) at the overfit config.
+    # ------------------------------------------------------------------
+    from mvtracker_tpu.training import step as step_lib
+
+    tm = MVTracker(
+        sliding_window_len=8, fmaps_dim=64, num_heads=6, hidden_size=192,
+        space_depth=3, time_depth=3, num_virtual_tracks=16,
+        corr_n_levels=3, corr_neighbors=8, compute_dtype="bfloat16",
+    )
+    tv, tt, th, tw, tn = 2, 12, 64, 64, 32
+    scene = _make_scene(rng, tv, tt, th, tw, tn)
+    batch = {
+        "rgbs": scene[0][None], "depths": scene[1][None],
+        "query_points": scene[2][None], "intrs": scene[3][None],
+        "extrs": scene[4][None],
+        "traj_gt": rng.normal(size=(1, tt, tn, 3)).astype(np.float32),
+        "vis_gt": np.ones((1, tt, tn), np.float32),
+        "valid": np.ones((1, tt, tn), np.float32),
+    }
+    batch = jax.tree.map(jax.device_put, batch)
+    optimizer = step_lib.make_optimizer(total_steps=1000)
+    example = {k: val[0] for k, val in batch.items()}
+    state = step_lib.init_state(tm, optimizer, example, jax.random.PRNGKey(0), iters=3)
+    train_step = step_lib.make_train_step(tm, optimizer, iters=3)
+    state, metrics = train_step(state, batch)
+    float(metrics["loss"])  # compile + sync
+
+    def timed_train(reps: int) -> float:
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s, m = train_step(s, batch)
+        float(m["loss"])
+        return (time.perf_counter() - t0) / reps
+
+    timed_train(2)
+    train_s = min(timed_train(8), timed_train(8))
+
+    # ------------------------------------------------------------------
+    # Eval FPS with support grids (the reference's eval-time measurement).
+    # ------------------------------------------------------------------
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+
+    predictor = EvaluationPredictor(
+        model, params, interp_shape=None, grid_size=5, n_grids_per_view=1,
+        n_iters=4,
+    )
+    np.asarray(predictor(*args)["traj"])  # compile
+    t0 = time.perf_counter()
+    np.asarray(predictor(*args)["traj"])
+    eval_fps = t / (time.perf_counter() - t0)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_SELF_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -76,16 +176,21 @@ def main():
         with open(baseline_path, "w") as f:
             json.dump({"value": value, "config": [v, t, h, w, n]}, f)
 
-    print(
-        json.dumps(
-            {
-                "metric": "tracked_point_frames_per_s_per_chip",
-                "value": round(value, 1),
-                "unit": "point-frames/s",
-                "vs_baseline": round(value / base, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "tracked_point_frames_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "point-frames/s",
+        "vs_baseline": round(value / base, 3),
+        "fwd_ms": round(step * 1e3, 2),
+        "fwd_tflops": round(flops / 1e12, 3) if flops else None,
+        "achieved_tflops_s": round(achieved / 1e12, 2) if achieved else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "device": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "train_step_ms": round(train_s * 1e3, 2),
+        "train_steps_per_s": round(1.0 / train_s, 2),
+        "eval_fps_with_support_grids": round(eval_fps, 1),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

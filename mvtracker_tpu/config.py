@@ -50,6 +50,10 @@ class ModelConfig:
     point_transformer_depth: int = 2
     normalize_scene_in_fwd_pass: bool = False
     remat: bool = False
+    # Learned 2D tracker family ("cotracker2d"): optional trained-weights
+    # msgpack to restore (corr_patch_radius is shared with the triplane
+    # variant below).
+    checkpoint_2d: str = ""
     # Triplane variant (name == "spatracker_multiview") extras.
     triplane_res: int = 64
     corr_patch_radius: int = 3
@@ -177,6 +181,36 @@ def build_model(mc: ModelConfig):
             if k in fields and k != "name" and v is not None
         }
         return cls(**kwargs)
+    if mc.name == "cotracker2d":
+        # The in-repo LEARNED 2D tracker (models/cotracker2d.py) through the
+        # multi-view adapter — the trainable replacement for the reference's
+        # hub-downloaded CoTracker wrappers. `checkpoint_2d` restores
+        # trained weights (msgpack flax params); empty = random init.
+        import dataclasses as _dc
+
+        from mvtracker_tpu.models.cotracker2d import CoTracker2D, LearnedTracker2D
+        from mvtracker_tpu.models.monocular import MonocularToMultiViewAdapter
+
+        fields = {f.name for f in _dc.fields(CoTracker2D) if f.name != "parent"}
+        kwargs = {
+            k: v
+            for k, v in dataclasses.asdict(mc).items()
+            if k in fields and k != "name" and v is not None
+        }
+        model2d = CoTracker2D(**kwargs)
+        params = None
+        if mc.checkpoint_2d:
+            import flax.serialization
+
+            import jax
+
+            with open(mc.checkpoint_2d, "rb") as f:
+                raw = f.read()
+            params = flax.serialization.msgpack_restore(raw)
+            if "params" not in params:
+                params = {"params": params}
+            params = jax.tree.map(lambda x: x, params)
+        return MonocularToMultiViewAdapter(LearnedTracker2D(model2d, params))
     if mc.name in _MONOCULAR_BASELINES:
         # The reference's monocular-baseline model zoo (cotracker1/2/3,
         # locotrack, scenetracker, delta, spatialtrackerv2, tapip3d,

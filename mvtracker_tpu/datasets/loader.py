@@ -194,3 +194,54 @@ class SyntheticSceneDataset:
             # like the reference's unseeded train-time augs).
             dp = default_train_augmentations(dp, np.random.default_rng())
         return dp
+
+
+class MonocularProxyDataset:
+    """Adapts any multi-view dataset into monocular 2D-tracking problems
+    for training `models.cotracker2d.CoTracker2D`.
+
+    Per scene: keep one view's video, replace the 3D world trajectory with
+    that view's pixel-space track (x, y, 0) and the query with its first
+    view-visible pixel position. Depth is zeroed (the 2D tracker ignores
+    it); the Datapoint contract and the whole Trainer/loss stack apply
+    unchanged — z is supervised to 0.
+    """
+
+    def __init__(self, base, view: int | None = None):
+        self.base = base
+        self.view = view  # None: rotate through views by index
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Datapoint:
+        dp = self.base[idx]
+        v = dp.video.shape[0]
+        vi = self.view if self.view is not None else idx % v
+        traj2d = dp.trajectory[vi]  # [T, N, 3] (x, y, z_cam)
+        t, n = traj2d.shape[:2]
+        traj = np.concatenate(
+            [traj2d[..., :2], np.zeros((t, n, 1), np.float32)], axis=-1
+        )
+        visibility = dp.visibility[vi : vi + 1]  # [1, T, N]
+        vis_any = visibility[0]
+        has = vis_any.any(axis=0)
+        first = np.argmax(vis_any, axis=0)
+        first[~has] = 0
+        query = np.concatenate(
+            [first[:, None].astype(np.float32), traj[first, np.arange(n)]], axis=1
+        )
+        return Datapoint(
+            video=dp.video[vi : vi + 1],
+            videodepth=np.zeros_like(dp.videodepth[vi : vi + 1]),
+            intrs=dp.intrs[vi : vi + 1],
+            extrs=dp.extrs[vi : vi + 1],
+            trajectory=np.concatenate(
+                [traj2d[..., :2], np.zeros((t, n, 1), np.float32)], axis=-1
+            )[None],
+            visibility=visibility,
+            trajectory_3d=traj,
+            query_points_3d=query,
+            valid=np.ones((t, n), bool),
+            seq_name=f"{dp.seq_name}_view{vi}_2d",
+        )

@@ -8,24 +8,30 @@ model.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 
 class CopyCat:
-    """Callable with the scene-level tracker interface."""
+    """Callable with the scene-level tracker interface.
+
+    Pure numpy on purpose: the baseline must cost zero accelerator traffic
+    (over a tunneled TPU, even a single eager device op costs seconds)."""
+
+    # Host-side; the EvaluationPredictor must not jit it.
+    jit_compatible = False
 
     def __call__(
         self,
-        rgbs: jax.Array,  # [V, T, H, W, 3]
-        depths: jax.Array,  # [V, T, H, W]
-        query_points: jax.Array,  # [N, 4]
-        intrs: jax.Array,
-        extrs: jax.Array,
+        rgbs,  # [V, T, H, W, 3]
+        depths,  # [V, T, H, W]
+        query_points,  # [N, 4]
+        intrs,
+        extrs,
         **kwargs,
     ) -> dict:
         t = rgbs.shape[1]
         n = query_points.shape[0]
-        traj = jnp.broadcast_to(query_points[None, :, 1:], (t, n, 3))
-        vis = jnp.ones((t, n), jnp.float32)
+        q = np.asarray(query_points)
+        traj = np.broadcast_to(q[None, :, 1:], (t, n, 3))
+        vis = np.ones((t, n), np.float32)
         return {"traj": traj, "vis": vis, "occluded": vis < 0.5}

@@ -33,6 +33,9 @@ def main():
                         help="high-frequency texture bands (0=historical "
                         "smooth bands; ~1.0 makes surface points localizable)")
     parser.add_argument("--workers", type=int, default=2)
+    parser.add_argument("--eval_every", type=int, default=0,
+                        help="periodic held-out eval vs CopyCat every N steps "
+                        "(appended to <exp_dir>/eval_log.jsonl); 0 disables")
     parser.add_argument("--model_size", choices=["small", "medium"], default="small",
                         help="small: the historical smoke config; medium: "
                         "2x width/depth for longer fresh-scene runs")
@@ -94,25 +97,62 @@ def main():
         warmup_steps=100,
         adaptive_iters=True,
         train_iters=3,
-        save_ckpt_freq=max(args.steps // 2, 500),
-        eval_freq=10**9,
+        save_ckpt_freq=max(min(args.steps // 2, 2500), 500),
+        eval_freq=args.eval_every if args.eval_every else 10**9,
         telemetry_freq=200,
         exp_dir=args.exp_dir,
     )
     trainer = Trainer(model, cfg)
-    state = trainer.fit(loader.prefetching_iter(), max_steps=args.steps)
+
+    scenes = [eval_ds[i] for i in range(args.eval_scenes)]
+    evaluator = Evaluator("kubric-multiview")
+    copycat_res, _ = evaluator.evaluate_sequence(CopyCatPredictor(), scenes)
+    copycat_summary = {
+        m: round(v, 3)
+        for m, v in copycat_res.get("all_any", {}).items()
+        if isinstance(v, float)
+    }
+    logging.info("CopyCat held-out baseline: %s", copycat_summary)
+
+    def eval_fn(state, step):
+        """Periodic held-out eval vs CopyCat; appended to eval_log.jsonl."""
+        p = EvaluationPredictor(
+            model, state.params, interp_shape=None, grid_size=0, n_iters=3
+        )
+        res, _ = evaluator.evaluate_sequence(p, scenes)
+        entry = {
+            "step": step,
+            "ours": {
+                m: round(v, 3)
+                for m, v in res.get("all_any", {}).items()
+                if isinstance(v, float)
+            },
+            "copycat": copycat_summary,
+        }
+        logging.info(
+            "heldout@%d: ATE %.2f AJ %.2f (CopyCat ATE %.2f AJ %.2f)",
+            step,
+            entry["ours"].get("ate_visible", float("nan")),
+            entry["ours"].get("average_jaccard", float("nan")),
+            copycat_summary.get("ate_visible", float("nan")),
+            copycat_summary.get("average_jaccard", float("nan")),
+        )
+        with open(os.path.join(args.exp_dir, "eval_log.jsonl"), "a") as f:
+            f.write(json.dumps(entry, default=float) + "\n")
+        return entry["ours"]
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    state = trainer.fit(
+        loader.prefetching_iter(), max_steps=args.steps, eval_fn=eval_fn
+    )
 
     predictor = EvaluationPredictor(model, state.params, interp_shape=None, grid_size=0, n_iters=3)
-    evaluator = Evaluator("kubric-multiview")
-    scenes = [eval_ds[i] for i in range(args.eval_scenes)]
-
     ours, _ = evaluator.evaluate_sequence(predictor, scenes)
-    copycat, _ = evaluator.evaluate_sequence(CopyCatPredictor(), scenes)
 
     report = {
         "steps": args.steps,
         "ours": ours.get("all_any", {}),
-        "copycat": copycat.get("all_any", {}),
+        "copycat": copycat_res.get("all_any", {}),
     }
     print(json.dumps({k: report[k] if k == "steps" else {
         m: round(v, 2) for m, v in report[k].items() if isinstance(v, float)

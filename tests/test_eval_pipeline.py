@@ -18,12 +18,13 @@ class CopyCatPredictor:
     """
 
     def __call__(self, rgbs, depths, query_points, intrs, extrs, rng_key=None):
-        import jax.numpy as jnp
+        import numpy as np
 
         t = rgbs.shape[1]
         n = query_points.shape[0]
-        traj = jnp.broadcast_to(query_points[None, :, 1:], (t, n, 3))
-        vis = jnp.ones((t, n))
+        q = np.asarray(query_points)
+        traj = np.broadcast_to(q[None, :, 1:], (t, n, 3))
+        vis = np.ones((t, n))
         return {"traj": traj, "vis": vis, "occluded": vis < 0.5}
 
 
