@@ -80,6 +80,21 @@ def cmd_render(args):
     logging.info("wrote %s", out)
 
 
+def cmd_reproject(args):
+    from mvtracker_tpu.droid.reproject import reproject_episode
+
+    out = reproject_episode(
+        args.episode,
+        args.out,
+        max_frames=args.max_frames,
+        stride=args.stride,
+        splat_size=args.splat_size,
+        write_depth_video=not args.no_depth_video,
+        overlay_tracks=args.overlay_tracks,
+    )
+    print(json.dumps(out))
+
+
 def cmd_track(args):
     """Full-episode 3D tracking (BASELINE config 3): cameras + decoded depth
     video + (optionally mask-guided) query points -> iterative refinement.
@@ -216,6 +231,25 @@ def main(argv=None):
     r.add_argument("--width", type=int, default=320)
     r.add_argument("--height", type=int, default=240)
     r.set_defaults(fn=cmd_render)
+
+    rp = sub.add_parser(
+        "reproject",
+        help="fused-cloud reprojection + validation renders (the factory's "
+        "visual-QA loop: reference reproject_depth_into_videos.py / "
+        "render_episode_validation.py)",
+    )
+    rp.add_argument("--episode", required=True, help="processed episode dir")
+    rp.add_argument("--out", required=True, help="output directory")
+    rp.add_argument("--max_frames", type=int, default=None)
+    rp.add_argument("--stride", type=int, default=2, help="cloud subsampling")
+    rp.add_argument("--splat_size", type=int, default=3)
+    rp.add_argument("--no_depth_video", action="store_true")
+    rp.add_argument(
+        "--overlay_tracks", action="store_true",
+        help="also write <cam>_validation.mp4 with gripper tracks drawn on "
+        "the reprojection",
+    )
+    rp.set_defaults(fn=cmd_reproject)
 
     tk = sub.add_parser("track")
     tk.add_argument("--episode", required=True, help="processed episode dir")

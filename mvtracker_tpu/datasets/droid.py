@@ -72,6 +72,41 @@ def _load_depth(cam_dir: str, t: int) -> Optional[np.ndarray]:
     return None
 
 
+def episode_camera_ids(episode_dir: str) -> list[str]:
+    """Camera ids of an episode in the same order `load_droid_episode`
+    stacks them as views (cameras with a pose, intrinsics, and an RGB+depth
+    recording)."""
+    with open(os.path.join(episode_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    cam_intrs = meta.get("camera_intrinsics", {})
+    wrist_serial = str(meta.get("wrist_cam_serial", ""))
+    extr_z = np.load(os.path.join(episode_dir, "extrinsics.npz"))
+    ids = []
+    for key in extr_z.files:
+        if key.startswith("external_"):
+            ids.append(key[len("external_"):])
+        elif key == "wrist" and wrist_serial:
+            ids.append(wrist_serial)
+    rec_root = os.path.join(episode_dir, "recordings")
+    out = []
+    for cid in sorted(c for c in ids if c in cam_intrs):
+        cam_dir = os.path.join(rec_root, cid)
+        has_rgb = (
+            os.path.exists(os.path.join(cam_dir, "rgb.npz"))
+            or os.path.exists(os.path.join(cam_dir, "rgb.mp4"))
+            or (
+                os.path.isdir(cam_dir)
+                and any(f.startswith("rgb_") and f.endswith(".png") for f in os.listdir(cam_dir))
+            )
+        )
+        has_depth = os.path.exists(os.path.join(cam_dir, "depth.mkv")) or os.path.exists(
+            os.path.join(cam_dir, "depth.npz")
+        )
+        if has_rgb and has_depth:
+            out.append(cid)
+    return out
+
+
 def load_droid_episode(
     episode_dir: str,
     max_frames: Optional[int] = None,
