@@ -66,6 +66,14 @@ class TrainConfig:
     # `configs/train.yaml:106-110`): dump all stacks if a step makes no
     # progress for this long. 0 disables.
     watchdog_timeout_s: float = 600.0
+    # Hard-kill the process after the watchdog dump (for supervised runs
+    # where an external loop restarts from the latest checkpoint; see
+    # `scripts/run_supervised_train.sh`). Without this, a wedged device
+    # tunnel leaves the process blocked forever in a device fetch.
+    watchdog_exit: bool = False
+    # Deadline for the FIRST step only (covers cold XLA compile; see the
+    # install site in `fit`).
+    watchdog_first_deadline_s: float = 1800.0
     # Optional Weights & Biases mirroring of the TensorBoard stream
     # (reference `cli/train.py:373-381` with sync_tensorboard=True).
     # Gracefully disabled when wandb is not installed / offline.
@@ -292,7 +300,16 @@ class Trainer:
         self._install_signal_handlers()
         os.makedirs(cfg.exp_dir, exist_ok=True)
         if cfg.watchdog_timeout_s > 0:
-            obs.install_hang_watchdog(cfg.watchdog_timeout_s)
+            # First deadline gets a cold-compile grace: the first step
+            # includes the train-step XLA compile (~2.5 min for the medium
+            # config on v5e; an interrupted compile writes nothing to the
+            # persistent cache, so killing mid-compile would loop forever
+            # under a restart supervisor). Per-step resets use the normal
+            # timeout.
+            obs.install_hang_watchdog(
+                max(cfg.watchdog_timeout_s, cfg.watchdog_first_deadline_s),
+                exit=cfg.watchdog_exit,
+            )
         wandb_run = None
         if cfg.wandb:
             try:
@@ -356,7 +373,7 @@ class Trainer:
                 step_times.append(t2 - t1)
                 step += 1
                 if cfg.watchdog_timeout_s > 0:
-                    obs.reset_hang_watchdog(cfg.watchdog_timeout_s)
+                    obs.reset_hang_watchdog(cfg.watchdog_timeout_s, exit=cfg.watchdog_exit)
 
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")

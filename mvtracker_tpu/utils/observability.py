@@ -62,20 +62,30 @@ class RankedLogger(logging.LoggerAdapter):
         self.logger.log(level, msg, *args, **kwargs)
 
 
-def install_hang_watchdog(timeout_s: float = 600.0, repeat: bool = True) -> None:
+def install_hang_watchdog(
+    timeout_s: float = 600.0, repeat: bool = True, exit: bool = False
+) -> None:
     """Dump all thread stacks if no progress for `timeout_s` seconds.
 
     Call `reset_hang_watchdog()` periodically (e.g. once per train step) to
     push the deadline forward, and `cancel_hang_watchdog()` on clean exit.
     Mirrors the reference's faulthandler watchdog
     (`cli/utils/helpers.py:45-47`).
+
+    With `exit=True` the process is hard-killed (`os._exit`) after the dump
+    instead of hanging forever — for supervised runs where an external loop
+    restarts training from the latest checkpoint. A wedged device tunnel
+    blocks in uninterruptible device fetches that SIGTERM can't unwind, so
+    dump-and-die + restart is the only reliable recovery.
     """
-    faulthandler.dump_traceback_later(timeout_s, repeat=repeat)
+    faulthandler.dump_traceback_later(timeout_s, repeat=repeat, exit=exit)
 
 
-def reset_hang_watchdog(timeout_s: float = 600.0, repeat: bool = True) -> None:
+def reset_hang_watchdog(
+    timeout_s: float = 600.0, repeat: bool = True, exit: bool = False
+) -> None:
     """Re-arm the watchdog (progress heartbeat)."""
-    faulthandler.dump_traceback_later(timeout_s, repeat=repeat)
+    faulthandler.dump_traceback_later(timeout_s, repeat=repeat, exit=exit)
 
 
 def cancel_hang_watchdog() -> None:

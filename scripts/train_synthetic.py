@@ -39,6 +39,12 @@ def main():
     parser.add_argument("--model_size", choices=["small", "medium"], default="small",
                         help="small: the historical smoke config; medium: "
                         "2x width/depth for longer fresh-scene runs")
+    parser.add_argument("--watchdog_exit", action="store_true",
+                        help="hard-kill the process after a watchdog hang dump "
+                        "(for scripts/run_supervised_train.sh restart loops)")
+    parser.add_argument("--watchdog_timeout", type=float, default=600.0)
+    parser.add_argument("--save_every", type=int, default=0,
+                        help="checkpoint frequency override (0 = auto)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -97,7 +103,9 @@ def main():
         warmup_steps=100,
         adaptive_iters=True,
         train_iters=3,
-        save_ckpt_freq=max(min(args.steps // 2, 2500), 500),
+        save_ckpt_freq=args.save_every or max(min(args.steps // 2, 2500), 500),
+        watchdog_timeout_s=args.watchdog_timeout,
+        watchdog_exit=args.watchdog_exit,
         eval_freq=args.eval_every if args.eval_every else 10**9,
         telemetry_freq=200,
         exp_dir=args.exp_dir,
