@@ -96,6 +96,22 @@ class Evaluator:
                     jnp.asarray(datapoint.intrs[vi]),
                     jnp.asarray(datapoint.extrs[vi]),
                 )
+            # Runtime round-trip guard (reference `evaluator_3dpt.py:562-573`
+            # asserts re-lifted projections match world preds within atol=1).
+            with jax.default_device(cpu):
+                back = geo.pixel_xy_and_camera_z_to_world(
+                    pix,
+                    z,
+                    geo.invert_intrinsics(jnp.asarray(datapoint.intrs[vi])),
+                    geo.invert_extrinsics(jnp.asarray(datapoint.extrs[vi])),
+                )
+            ok_z = np.abs(np.asarray(z))[..., 0] > 1e-3
+            rdev = np.abs(np.asarray(back) - traj).max(axis=-1)
+            rdev = float(rdev[ok_z].max(initial=0.0))
+            assert rdev < 1.0, (
+                f"view {vi}: reprojection round-trip deviation {rdev:.3g} "
+                "exceeds atol=1 (intrinsics/extrinsics mis-application?)"
+            )
             pred_2d = np.asarray(pix)
             gt_2d = datapoint.trajectory[vi, :, :, :2]
             vis_view = datapoint.visibility[vi]

@@ -23,6 +23,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mvtracker_tpu.training import losses
+from mvtracker_tpu.utils import geometry
 
 
 class TrainState(NamedTuple):
@@ -130,6 +131,13 @@ def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float
         track_upscaling_factor=scene.get("track_upscaling_factor", 1.0),
         visibility_loss_weight=vis_weight,
     )
+    # Runtime reprojection sanity guard (reference `cli/train.py:194-204`):
+    # computed in-graph (a few einsums), asserted host-side by the trainer
+    # alongside the non-finite-loss check.
+    parts = dict(parts)
+    parts["reproj_dev"] = geometry.reprojection_roundtrip_dev(
+        out["traj"], scene["intrs"], scene["extrs"]
+    )
     return total, parts
 
 
@@ -174,7 +182,14 @@ def make_train_step(
             lambda sc: scene_loss(model, params, sc, iters, gamma, vis_weight)
         )(batch)
         totals, parts = per_scene
-        return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
+        parts = dict(parts)
+        # Deviations aggregate by max (a single bad scene must trip the
+        # guard); losses aggregate by mean.
+        reproj_dev = parts.pop("reproj_dev", None)
+        agg = jax.tree.map(jnp.mean, parts)
+        if reproj_dev is not None:
+            agg["reproj_dev"] = jnp.max(reproj_dev)
+        return jnp.mean(totals), agg
 
     @jax.jit
     def train_step(state: TrainState, batch):

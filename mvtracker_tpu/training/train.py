@@ -74,6 +74,11 @@ class TrainConfig:
     # Deadline for the FIRST step only (covers cold XLA compile; see the
     # install site in `fit`).
     watchdog_first_deadline_s: float = 1800.0
+    # Reprojection round-trip sanity guard (reference `cli/train.py:194-204`
+    # asserts the world->pixel+z->world round trip within atol=1 every
+    # step). The deviation is computed in-graph (`training/step.py::
+    # scene_loss`) and checked here host-side. 0 disables.
+    reproj_guard_atol: float = 1.0
     # Optional Weights & Biases mirroring of the TensorBoard stream
     # (reference `cli/train.py:373-381` with sync_tensorboard=True).
     # Gracefully disabled when wandb is not installed / offline.
@@ -377,6 +382,14 @@ class Trainer:
 
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
+                if cfg.reproj_guard_atol > 0 and "reproj_dev" in metrics:
+                    rdev = float(metrics["reproj_dev"])
+                    if not rdev < cfg.reproj_guard_atol:
+                        raise FloatingPointError(
+                            f"reprojection round-trip deviation {rdev:.3g} "
+                            f"exceeds atol {cfg.reproj_guard_atol} at step {step} "
+                            "(intrinsics/extrinsics mis-application upstream?)"
+                        )
 
                 tb = self._tb_writer()
                 if tb is not None:

@@ -225,6 +225,36 @@ def init_pointcloud_from_rgbd(
     return xyz, fvec
 
 
+def reprojection_roundtrip_dev(
+    world_xyz: jax.Array, intrs: jax.Array, extrs: jax.Array
+) -> jax.Array:
+    """Max |world -> (pixel xy, camera z) -> world| deviation over all views.
+
+    Runtime sanity guard on the projection algebra: the reference asserts
+    this round trip within atol=1 on every train step (`cli/train.py:194-204`)
+    and eval sequence (`evaluator_3dpt.py:562-573`). A blow-up here means
+    intrinsics/extrinsics are being mis-applied somewhere upstream.
+
+    Points with |camera z| < 1e-3 are excluded: the round trip divides and
+    re-multiplies by z, so near-camera-plane points amplify fp error without
+    indicating a real calibration bug.
+
+    Args:
+        world_xyz: [*B, N, 3] predicted world points.
+        intrs: [V, *B, 3, 3]; extrs: [V, *B, 3, 4] (leading view axis).
+
+    Returns:
+        scalar max absolute deviation (0 when every point is excluded).
+    """
+    pix, z = world_to_pixel_xy_and_camera_z(world_xyz[None], intrs, extrs)
+    back = pixel_xy_and_camera_z_to_world(
+        pix, z, invert_intrinsics(intrs), invert_extrinsics(extrs)
+    )
+    dev = jnp.abs(back - world_xyz[None]).max(axis=-1)
+    ok = jnp.abs(z[..., 0]) > 1e-3
+    return jnp.max(jnp.where(ok, dev, 0.0))
+
+
 def get_points_on_a_grid(
     size: int,
     extent: tuple[float, float],

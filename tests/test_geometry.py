@@ -135,3 +135,20 @@ def test_reduce_masked_mean():
     np.testing.assert_allclose(float(geo.reduce_masked_mean(x, m)), 1.5, atol=1e-5)
     per_row = geo.reduce_masked_mean(x, m, axis=1)
     np.testing.assert_allclose(np.asarray(per_row), [1.5, 0.0], atol=1e-4)
+
+
+def test_reprojection_roundtrip_dev_guard(rng):
+    """The runtime guard: clean geometry -> tiny deviation; near-plane
+    points are excluded rather than tripping it."""
+    intrs, extrs = random_camera(rng, n_frames=3)  # [T,3,3]/[T,3,4]
+    v_intrs = jnp.stack([intrs, intrs])  # [V,T,...]
+    v_extrs = jnp.stack([extrs, extrs])
+    world = jnp.asarray(rng.normal(size=(3, 17, 3)), jnp.float32)  # [T,N,3]
+    dev = float(geo.reprojection_roundtrip_dev(world, v_intrs, v_extrs))
+    assert dev < 1e-2, dev
+
+    # A point exactly on the camera plane (z=0) must be excluded, not blow up.
+    cam_center = geo.invert_extrinsics(extrs)[..., :3, 3]  # [T,3]
+    world_bad = world.at[0, 0].set(cam_center[0])
+    dev_bad = float(geo.reprojection_roundtrip_dev(world_bad, v_intrs, v_extrs))
+    assert np.isfinite(dev_bad) and dev_bad < 1e-2, dev_bad
