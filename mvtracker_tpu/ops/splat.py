@@ -38,6 +38,13 @@ def _bilinear_scatter(
     kernel's bounds checks.
     """
     b, p, c = values.shape
+    # Non-finite positions are skipped entirely, like the CUDA kernel's
+    # early return (`softsplat.py` kernels: `isfinite(fltX) == false`).
+    # Without this, NaN's int32 cast can land IN bounds (it's 0 on XLA
+    # CPU) and the NaN bilinear weight poisons that cell.
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    x = jnp.where(finite, x, -2.0)
+    y = jnp.where(finite, y, -2.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     acc = jnp.zeros((b, height, width, c), values.dtype)
@@ -48,7 +55,7 @@ def _bilinear_scatter(
         yi = (y0 + dy).astype(jnp.int32)
         w_bil = (1 - jnp.abs(x - (x0 + dx))) * (1 - jnp.abs(y - (y0 + dy)))
         w_tot = w_bil * weights  # [B, P]
-        in_bounds = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        in_bounds = finite & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
         w_tot = jnp.where(in_bounds, w_tot, 0.0)
 
         def scat(a, yy, xx, u):
