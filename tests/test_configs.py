@@ -43,7 +43,31 @@ def test_preset_loads_and_builds(path):
     assert model is not None
 
 
-@pytest.mark.parametrize("path", PRESETS, ids=[os.path.basename(p) for p in PRESETS])
+def _unique_family_presets():
+    """One forward-smoke per model family: the monocular baseline zoo maps
+    many preset names onto the same adapter-over-2D-tracker build (see
+    `config.py::_MONOCULAR_BASELINES`), so smoking each name would re-run
+    an identical forward N times for pure wall-clock cost. Load/build (the
+    per-preset contract) still runs for every preset above."""
+    seen, keep = set(), []
+    for p in PRESETS:
+        cfg = load_config(p)
+        model = build_model(cfg.model)
+        key = type(model).__name__
+        if key == "MonocularToMultiViewAdapter":
+            key += type(model.tracker_2d).__name__
+        if key not in seen:
+            seen.add(key)
+            keep.append(p)
+    return keep
+
+
+SMOKE_PRESETS = _unique_family_presets()
+
+
+@pytest.mark.parametrize(
+    "path", SMOKE_PRESETS, ids=[os.path.basename(p) for p in SMOKE_PRESETS]
+)
 def test_preset_family_forward_smoke(path):
     """Forward smoke: the preset's model family tracks a tiny synthetic
     scene end-to-end through the EvaluationPredictor."""
