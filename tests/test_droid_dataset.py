@@ -133,3 +133,50 @@ def test_droid_training_batch(processed_episode):
     train_step = step_lib.make_train_step(model, optimizer, iters=1)
     state, metrics = train_step(state, {k: v for k, v in batch.items() if v is not None})
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_droid_track_cli_mask_guided_queries(processed_episode, tmp_path):
+    """Object-mask ingestion e2e (reference `object_detection.py` output
+    consumed for query sampling, SURVEY §2.7): a masks.npz restricting the
+    left image half must confine every depth-sampled query to masked
+    pixels when reprojected."""
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.utils import geometry as geo
+
+    out_dir, _ = processed_episode
+    w_img = 320
+    mask = np.zeros((240, w_img), np.float32)
+    mask[:, : w_img // 2] = 1.0
+    np.savez_compressed(os.path.join(out_dir, "masks.npz"), cam100=mask)
+    try:
+        out_npz = str(tmp_path / "pred_masked.npz")
+        from mvtracker_tpu.cli import droid as droid_cli
+
+        droid_cli.main(
+            [
+                "track",
+                "--episode", out_dir,
+                "--out", out_npz,
+                "--queries", "depth",
+                "--num_queries", "12",
+                "--iters", "1",
+                "--grid_size", "0",
+                "--interp_shape", "128", "128",
+                "--max_frames", "6",
+                "--dtype", "float32",
+            ]
+        )
+        with np.load(out_npz) as z:
+            q = z["queries"]
+        assert q.shape == (12, 4)
+        dp = load_droid_episode(out_dir, max_frames=6)
+        pix, zc = geo.world_to_pixel_xy_and_camera_z(
+            jnp.asarray(q[None, :, 1:]),
+            jnp.asarray(dp.intrs[0, 0][None]),
+            jnp.asarray(dp.extrs[0, 0][None]),
+        )
+        x = np.asarray(pix)[0, :, 0]
+        assert (x < w_img / 2 + 1.0).all(), f"queries escaped the mask: {x}"
+    finally:
+        os.remove(os.path.join(out_dir, "masks.npz"))
