@@ -18,13 +18,15 @@ class CopyCatPredictor:
     """
 
     def __call__(self, rgbs, depths, query_points, intrs, extrs, rng_key=None):
-        import numpy as np
+        # jnp, not numpy: the EvaluationPredictor jits plain-callable
+        # baselines (predictor.py `jit_compatible` branch), so inputs may
+        # be tracers here.
+        import jax.numpy as jnp
 
         t = rgbs.shape[1]
         n = query_points.shape[0]
-        q = np.asarray(query_points)
-        traj = np.broadcast_to(q[None, :, 1:], (t, n, 3))
-        vis = np.ones((t, n))
+        traj = jnp.broadcast_to(query_points[None, :, 1:], (t, n, 3))
+        vis = jnp.ones((t, n))
         return {"traj": traj, "vis": vis, "occluded": vis < 0.5}
 
 
