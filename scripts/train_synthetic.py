@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--watchdog_timeout", type=float, default=600.0)
     parser.add_argument("--save_every", type=int, default=0,
                         help="checkpoint frequency override (0 = auto)")
+    parser.add_argument("--vis_loss_weight", type=float, default=0.1,
+                        help="visibility BCE weight (reference "
+                        "configs/train.yaml:44 uses 0.1)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -106,6 +109,7 @@ def main():
         save_ckpt_freq=args.save_every or max(min(args.steps // 2, 2500), 500),
         watchdog_timeout_s=args.watchdog_timeout,
         watchdog_exit=args.watchdog_exit,
+        visibility_loss_weight=args.vis_loss_weight,
         eval_freq=args.eval_every if args.eval_every else 10**9,
         telemetry_freq=200,
         exp_dir=args.exp_dir,

@@ -24,13 +24,65 @@ jax.config.update("jax_platforms", "cpu")
 # compilation of the scanned model graphs, which are identical run to run.
 # With a warm cache the full suite drops from ~24 min to a few minutes on
 # this 2-core host. The directory is gitignored; safe to delete any time.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests")
+_cache_dir = os.environ.get(
+    "MVT_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests"),
+)
+
+# Seed the persistent cache from the checked-in snapshot on first run: a
+# cold suite is ~30 min of XLA CPU compilation on a 2-core host; with the
+# seed it drops to minutes. The snapshot is keyed by jaxlib version +
+# device topology (conftest forces 8 virtual CPUs), so it only ever hits
+# for the pinned container image — on any mismatch JAX treats entries as
+# misses and recompiles, losing nothing. Regenerate with
+# `scripts/pack_test_cache.sh` after model-graph changes.
+_cache_seed = os.path.join(os.path.dirname(__file__), "data", "jax_cache_tests.tar.gz")
+if not os.path.isdir(_cache_dir) and os.path.exists(_cache_seed):
+    import subprocess
+
+    os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        subprocess.run(
+            ["tar", "-xzf", _cache_seed, "-C", _cache_dir],
+            check=True,
+            timeout=120,
+        )
+    except Exception:  # corrupt/unsupported seed: fall back to cold compiles
+        pass
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
+
+# Compile-heavy modules run FIRST. Twice observed (full-suite runs, both at
+# the same point ~200 tests in): jaxlib's `executable.serialize()` segfaults
+# while writing a large train-step executable to the persistent cache late
+# in the session, after hundreds of compiled programs + torch/h5py/ctypes
+# native state have accumulated. The same compile + cache write succeeds
+# every time in a clean process (reproduced in isolation, cold cache).
+# Scheduling the big-compile modules first performs those serializes while
+# the heap is young; host-side modules (droid, viz, datasets) follow.
+_EARLY_MODULES = [
+    "test_training.py",
+    "test_model.py",
+    "test_reference_parity.py",
+    "test_spatracker.py",
+    "test_chunked_tracking.py",
+    "test_cotracker2d.py",
+    "test_eval_pipeline.py",
+    "test_configs.py",
+]
+
+
+def pytest_collection_modifyitems(session, config, items):
+    order = {m: i for i, m in enumerate(_EARLY_MODULES)}
+
+    def rank(item):
+        return order.get(os.path.basename(str(item.fspath)), len(_EARLY_MODULES))
+
+    items.sort(key=rank)  # stable: preserves within-module order
 
 
 @pytest.fixture
