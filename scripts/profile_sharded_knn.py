@@ -37,13 +37,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mvtracker_tpu.ops.knn import knn_sharded, knn_sharded_ring
 
 
-def bench(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def bench(fn, *args, reps=2):
+    def force(o):
+        # A host value read is the only sync that cannot lie: on the
+        # virtual-CPU-device mesh, block_until_ready has been observed to
+        # return early for fully-replicated shard_map outputs.
+        return float(jax.numpy.asarray(o[0]).sum())
+
+    force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        force(fn(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -56,9 +60,9 @@ def main():
     print(f"{'N':>8} {'M':>6} {'k':>3} {'M*k':>7} {'N/D':>7} "
           f"{'gather ms':>10} {'ring ms':>9} winner")
     rows = []
-    for n in (8_192, 32_768, 131_072):
-        for m in (256, 1024, 4096):
-            for k in (8, 16):
+    for n in (16_384, 131_072):
+        for m in (256, 4096):
+            for k in (16,):
                 ref = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
                 qry = jnp.asarray(rng.normal(size=(1, m, 3)), jnp.float32)
 
