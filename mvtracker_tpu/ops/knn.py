@@ -644,6 +644,15 @@ def knn_sharded_ring(
     outweighs N/D (shard size); the all-gather merge wins in the opposite
     regime.
 
+    Measured (scripts/profile_sharded_knn.py, 8-device CPU mesh, k=16):
+    the 'ring wins iff M*k > N/D' predictor matched the winner on 4/4
+    configs spanning N 16k-131k x M 256-4096, with thin margins (1-2%) on
+    CPU where a "link" is a memcpy; on ICI the traffic asymmetry (ring
+    moves N/D*12 B per step on neighbor links vs the gather's D*M*k*8 B
+    fan-in) widens the same split. Default remains `knn_sharded` (gather):
+    the tracker's regime is M*k ~ 4k-16k candidates vs N/D >= 16k shard
+    points, squarely gather-side.
+
     Inside `shard_map` over `axis_name`: `ref_local` [B, N/D, 3] sharded,
     `query` [B, M, 3] replicated. Returns (dists, GLOBAL indices) [B, M, k].
     """
