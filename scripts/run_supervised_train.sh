@@ -30,6 +30,11 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     echo "[supervisor] chip never came back; giving up" >&2
     exit 2
   fi
+  # Let the tunnel settle after the probe client disconnects — immediate
+  # reconnects have been observed to wedge backend init (the axon server
+  # appears to admit one client at a time and takes a while to reap a
+  # disconnected session).
+  sleep "${SETTLE_S:-90}"
   echo "[supervisor] attempt $attempt: $*" >&2
   "$@"
   rc=$?

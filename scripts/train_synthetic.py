@@ -51,6 +51,16 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    if args.watchdog_exit:
+        # Arm BEFORE touching the device: the axon tunnel has wedged during
+        # backend init / the pre-fit CopyCat eval (observed: futex-blocked
+        # process with 9 s CPU after 10 min, no watchdog armed yet because
+        # Trainer.fit hadn't started). fit() re-arms with its own deadline.
+        from mvtracker_tpu.utils.observability import install_hang_watchdog
+
+        install_hang_watchdog(args.watchdog_timeout, exit=True)
+
     import jax
 
     jax.config.update(

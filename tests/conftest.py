@@ -52,6 +52,13 @@ if not os.path.isdir(_cache_dir) and os.path.exists(_cache_seed):
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# By default jax embeds <cache_dir>/xla_gpu_per_fusion_autotune_cache_dir
+# into the compile options, which are hashed into every cache key — making
+# the cache non-relocatable (verified: a byte-identical cache copied to a
+# different path misses 100%). The embedded caches are GPU-only features;
+# disabling them costs nothing on CPU and makes the checked-in seed work
+# at any checkout path.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 
 import numpy as np
 import pytest
