@@ -174,8 +174,15 @@ class MVTracker(nn.Module):
     # and reuse the neighbor set across all refinement iterations; offsets
     # and correlations still update with the refined coords each iteration.
     # Cuts kNN cost by the iteration count (~4x). APPROXIMATE: the
-    # reference re-searches every iteration (`mvtracker.py:815`) — enable
-    # only when the measured quality delta is acceptable (see NOTES.md).
+    # reference re-searches every iteration (`mvtracker.py:815`).
+    # Measured on a trained tracking model (scripts/
+    # verify_knn_reuse_quality.py + profile_knn_reuse.py, v5e): 1.39x
+    # forward speedup (93.1 -> 66.8 ms flagship) at metric-neutral
+    # quality (AJ 40.80 -> 40.47, ATE 31.96 -> 32.13, trajectory
+    # divergence p95 0.096 scene units vs xyz std 0.5). Default stays
+    # False so training and converted-checkpoint inference match the
+    # reference numerics exactly; flip on for serving/long-video
+    # throughput (configs/mvtracker_longvideo.yaml does).
     corr_knn_reuse: bool = False
     # Exclude zero-depth pixels (which unproject to the camera origin) from
     # the kNN reference set during correlation (reference
