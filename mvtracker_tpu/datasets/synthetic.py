@@ -69,6 +69,100 @@ def _rotations_about_axis(axis: np.ndarray, angles: np.ndarray) -> np.ndarray:
     )
 
 
+def analytic_visibility(
+    traj3d: np.ndarray,  # [T, N, 3] world-space track points
+    obj_of_track: np.ndarray,  # [N] sphere index each track rides
+    centers: np.ndarray,  # [O, T, 3] sphere centers
+    radii: np.ndarray,  # [O]
+    intrs: np.ndarray,  # [V, T, 3, 3]
+    extrs: np.ndarray,  # [V, T, 3, 4]
+    width: int,
+    height: int,
+    ground_extent: float = 4.0,
+) -> np.ndarray:
+    """EXACT per-view visibility for sphere-surface track points. [V, T, N].
+
+    The z-buffer visibility test (`z <= depth[round(pixel)] + tol`) is noisy
+    near sphere silhouettes: the depth at the rounded pixel can belong to a
+    neighboring surface patch whose camera-z differs by O(radius) where the
+    surface grazes the view ray, so labels within ~1 px of the silhouette
+    are wrong at a rate set by the rendering resolution. Mislabeled GT caps
+    the occlusion accuracy any model can reach (and corrupts the visibility
+    BCE targets during training). For this analytic scene there is no need
+    to sample the render: a point p riding sphere i is visible from camera
+    c iff
+
+      1. it projects inside the image with camera-z > 0;
+      2. it is on its own sphere's camera-facing hemisphere
+         ((p - c) . normal < 0 — otherwise the sphere self-occludes it);
+      3. no OTHER sphere intersects the open segment c -> p;
+      4. the segment does not cross the ground plane z=0 inside the ground
+         extent (only possible when p dips below z=0).
+
+    This is the exact geometric ground truth the renderer approximates.
+    """
+    v, t = extrs.shape[:2]
+    n = traj3d.shape[1]
+    n_obj = centers.shape[0]
+    vis = np.zeros((v, t, n), bool)
+    own = obj_of_track  # [N]
+    for vi in range(v):
+        for ti in range(t):
+            p = traj3d[ti]  # [N, 3]
+            r_wc = extrs[vi, ti, :, :3]
+            t_wc = extrs[vi, ti, :, 3]
+            cam = -r_wc.T @ t_wc  # camera origin in world
+            # 1. Projection / bounds / front-of-camera.
+            cam_xyz = (r_wc @ p.T).T + t_wc
+            z = cam_xyz[:, 2]
+            pix = (intrs[vi, ti] @ cam_xyz.T).T
+            pix_xy = pix[:, :2] / np.maximum(pix[:, 2:], 1e-9)
+            ok = (
+                (z > 1e-6)
+                & (pix_xy[:, 0] >= -0.5)
+                & (pix_xy[:, 0] < width - 0.5)
+                & (pix_xy[:, 1] >= -0.5)
+                & (pix_xy[:, 1] < height - 0.5)
+            )
+            # 2. Own-sphere hemisphere test.
+            c_own = centers[own, ti]  # [N, 3]
+            normal = p - c_own
+            nrm = np.linalg.norm(normal, axis=-1)
+            normal = normal / np.maximum(nrm, 1e-12)[:, None]
+            d = p - cam[None]  # segment camera -> point
+            seg_len = np.linalg.norm(d, axis=-1)
+            u = d / np.maximum(seg_len, 1e-12)[:, None]
+            ok &= (u * normal).sum(-1) < 0.0
+            # 3. Occlusion by every other sphere (first-entry t within the
+            # open segment). Track points sit at 0.999 * radius, so an
+            # epsilon on the segment end is unnecessary for the own sphere
+            # (excluded anyway) and harmless for others.
+            for oi in range(n_obj):
+                other = own != oi
+                if not other.any():
+                    continue
+                oc = cam[None] - centers[oi, ti][None]  # [1, 3]
+                b = 2.0 * (u @ oc[0])
+                c = (oc[0] @ oc[0]) - radii[oi] ** 2
+                disc = b * b - 4.0 * c
+                sq = np.sqrt(np.maximum(disc, 0.0))
+                t_enter = (-b - sq) / 2.0
+                blocked = other & (disc > 0) & (t_enter > 0.0) & (t_enter < seg_len)
+                ok &= ~blocked
+            # 4. Ground-plane occlusion (only for points below z=0).
+            below = p[:, 2] < 0.0
+            if below.any() and cam[2] > 0.0:
+                s_g = cam[2] / np.maximum(cam[2] - p[:, 2], 1e-12)  # in (0,1)
+                cross = cam[None] + s_g[:, None] * d
+                on_ground = (
+                    (np.abs(cross[:, 0]) < ground_extent)
+                    & (np.abs(cross[:, 1]) < ground_extent)
+                )
+                ok &= ~(below & on_ground)
+            vis[vi, ti] = ok
+    return vis
+
+
 def render_scene(
     seed: int = 0,
     n_views: int = 4,

@@ -96,8 +96,12 @@ class Evaluator:
                     jnp.asarray(datapoint.intrs[vi]),
                     jnp.asarray(datapoint.extrs[vi]),
                 )
-            # Runtime round-trip guard (reference `evaluator_3dpt.py:562-573`
-            # asserts re-lifted projections match world preds within atol=1).
+            # Runtime round-trip guard (reference `evaluator_3dpt.py:569`
+            # WARNS when re-lifted projections deviate from world preds by
+            # more than atol=1 — it does not abort). Match that: a diverged
+            # model / early checkpoint can produce finite-but-huge coords
+            # whose f32 round-trip error exceeds 1; the eval sweep should
+            # still report its (terrible) metrics rather than die.
             with jax.default_device(cpu):
                 back = geo.pixel_xy_and_camera_z_to_world(
                     pix,
@@ -108,10 +112,14 @@ class Evaluator:
             ok_z = np.abs(np.asarray(z))[..., 0] > 1e-3
             rdev = np.abs(np.asarray(back) - traj).max(axis=-1)
             rdev = float(rdev[ok_z].max(initial=0.0))
-            assert rdev < 1.0, (
-                f"view {vi}: reprojection round-trip deviation {rdev:.3g} "
-                "exceeds atol=1 (intrinsics/extrinsics mis-application?)"
-            )
+            if not rdev < 1.0:
+                import warnings
+
+                warnings.warn(
+                    f"view {vi}: reprojection round-trip deviation {rdev:.3g} "
+                    "exceeds atol=1 (intrinsics/extrinsics mis-application, "
+                    "or a diverged prediction?)"
+                )
             pred_2d = np.asarray(pix)
             gt_2d = datapoint.trajectory[vi, :, :, :2]
             vis_view = datapoint.visibility[vi]

@@ -35,3 +35,20 @@ class CopyCat:
         traj = np.broadcast_to(q[None, :, 1:], (t, n, 3))
         vis = np.ones((t, n), np.float32)
         return {"traj": traj, "vis": vis, "occluded": vis < 0.5}
+
+
+class CopyCatPredictor:
+    """Jit-traceable CopyCat with the EvaluationPredictor plain-callable
+    contract (`predictor.py` `jit_compatible` branch): inputs may be
+    tracers, so the body is jnp, not numpy. Used by the evaluator tests and
+    the checkpoint-eval / train-synthetic scripts as the no-motion
+    baseline (reference `mvtracker/models/core/copycat.py:5-39`)."""
+
+    def __call__(self, rgbs, depths, query_points, intrs, extrs, rng_key=None):
+        import jax.numpy as jnp
+
+        t = rgbs.shape[1]
+        n = query_points.shape[0]
+        traj = jnp.broadcast_to(query_points[None, :, 1:], (t, n, 3))
+        vis = jnp.ones((t, n))
+        return {"traj": traj, "vis": vis, "occluded": vis < 0.5}

@@ -230,10 +230,12 @@ def reprojection_roundtrip_dev(
 ) -> jax.Array:
     """Max |world -> (pixel xy, camera z) -> world| deviation over all views.
 
-    Runtime sanity guard on the projection algebra: the reference asserts
-    this round trip within atol=1 on every train step (`cli/train.py:194-204`)
-    and eval sequence (`evaluator_3dpt.py:562-573`). A blow-up here means
-    intrinsics/extrinsics are being mis-applied somewhere upstream.
+    Runtime sanity guard on the projection algebra: the reference computes
+    this round trip on every train step (`cli/train.py:194-204`) and eval
+    sequence (`evaluator_3dpt.py:569`) and WARNS beyond atol=1 (it does not
+    abort). A blow-up here means intrinsics/extrinsics are being mis-applied
+    somewhere upstream — or the predictions themselves diverged (f32
+    round-trip error scales with |coords|).
 
     Points with |camera z| < 1e-3 are excluded: the round trip divides and
     re-multiplies by z, so near-camera-plane points amplify fp error without

@@ -45,7 +45,7 @@ def main():
     from mvtracker_tpu.models.mvtracker import MVTracker
     from mvtracker_tpu.training import step as step_lib
     from mvtracker_tpu.training.train import TrainConfig, Trainer
-    from tests.test_eval_pipeline import CopyCatPredictor
+    from mvtracker_tpu.models.copycat import CopyCatPredictor
 
     base = dict(sliding_window_len=8, corr_n_levels=3)
     sizes = {

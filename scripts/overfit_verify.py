@@ -40,7 +40,7 @@ def main():
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
     from mvtracker_tpu.models.mvtracker import MVTracker
     from mvtracker_tpu.training.train import TrainConfig, Trainer
-    from tests.test_eval_pipeline import CopyCatPredictor
+    from mvtracker_tpu.models.copycat import CopyCatPredictor
 
     model = MVTracker(
         sliding_window_len=8,

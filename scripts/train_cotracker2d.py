@@ -48,7 +48,7 @@ def main():
         SimpleNNTracker2D,
     )
     from mvtracker_tpu.training.train import TrainConfig, Trainer
-    from tests.test_eval_pipeline import CopyCatPredictor
+    from mvtracker_tpu.models.copycat import CopyCatPredictor
 
     model = CoTracker2D(
         sliding_window_len=8,

@@ -8,7 +8,7 @@ import pytest
 
 from mvtracker_tpu.datasets import synthetic
 from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
-from tests.test_eval_pipeline import CopyCatPredictor
+from mvtracker_tpu.models.copycat import CopyCatPredictor
 
 
 @pytest.fixture(scope="module")

@@ -8,26 +8,7 @@ import pytest
 
 from mvtracker_tpu.datasets import synthetic
 from mvtracker_tpu.evaluation.evaluator import Evaluator
-
-
-class CopyCatPredictor:
-    """No-motion baseline: every track stays at its query position.
-
-    Mirrors reference `mvtracker/models/core/copycat.py:5-39` — the API
-    contract in miniature, used to validate the evaluator harness.
-    """
-
-    def __call__(self, rgbs, depths, query_points, intrs, extrs, rng_key=None):
-        # jnp, not numpy: the EvaluationPredictor jits plain-callable
-        # baselines (predictor.py `jit_compatible` branch), so inputs may
-        # be tracers here.
-        import jax.numpy as jnp
-
-        t = rgbs.shape[1]
-        n = query_points.shape[0]
-        traj = jnp.broadcast_to(query_points[None, :, 1:], (t, n, 3))
-        vis = jnp.ones((t, n))
-        return {"traj": traj, "vis": vis, "occluded": vis < 0.5}
+from mvtracker_tpu.models.copycat import CopyCatPredictor
 
 
 @pytest.fixture(scope="module")
