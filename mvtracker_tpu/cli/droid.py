@@ -95,6 +95,20 @@ def cmd_reproject(args):
     print(json.dumps(out))
 
 
+def cmd_refine(args):
+    from mvtracker_tpu.droid.refine import refine_episode_wrist_z
+
+    out = refine_episode_wrist_z(
+        args.episode,
+        n_frames=args.n_frames,
+        z_range=(args.z_min, args.z_max),
+        voxel=args.voxel,
+        max_corr_dist=args.max_corr_dist,
+        write=args.write,
+    )
+    print(json.dumps(out))
+
+
 def cmd_track(args):
     """Full-episode 3D tracking (BASELINE config 3): cameras + decoded depth
     video + (optionally mask-guided) query points -> iterative refinement.
@@ -250,6 +264,24 @@ def main(argv=None):
         "the reprojection",
     )
     rp.set_defaults(fn=cmd_reproject)
+
+    rf = sub.add_parser(
+        "refine",
+        help="wrist-camera z-offset refinement via ICP against the external "
+        "cameras (reference conversions/droid/utils/optimization.py "
+        "optimize_wrist_camera_icp_z_only)",
+    )
+    rf.add_argument("--episode", required=True, help="processed episode dir")
+    rf.add_argument("--n_frames", type=int, default=6)
+    rf.add_argument("--z_min", type=float, default=-0.05)
+    rf.add_argument("--z_max", type=float, default=0.05)
+    rf.add_argument("--voxel", type=float, default=0.01)
+    rf.add_argument("--max_corr_dist", type=float, default=0.05)
+    rf.add_argument(
+        "--write", action="store_true",
+        help="apply the offset to extrinsics.npz wrist poses + quality.json",
+    )
+    rf.set_defaults(fn=cmd_refine)
 
     tk = sub.add_parser("track")
     tk.add_argument("--episode", required=True, help="processed episode dir")

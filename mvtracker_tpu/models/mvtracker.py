@@ -196,6 +196,24 @@ class MVTracker(nn.Module):
     # query's nearest valid neighbor.
     corr_filter_invalid_depth: bool = False
     flow_embed_dim: int = 64
+    # Visibility-head upgrades (both default OFF = reference parity: a
+    # single Linear on the track features, `mvtracker.py:408`).
+    #
+    # vis_geom_features feeds the head direct geometric occlusion evidence:
+    # the final coords are projected into every view and z-tested against
+    # the (strided) depth maps — tanh((depth - z)/tau) clearance scores at
+    # several tolerances tau, aggregated over views (max + mean + valid
+    # fraction). This is the same per-view z-test that DEFINES ground-truth
+    # visibility in the data factories, so the head gets the signal it is
+    # asked to predict instead of having to recover it from correlation
+    # residue in the track features. TPU-cheap: V bilinear gathers per
+    # (frame, track). Gradients are stopped at the coords (visibility loss
+    # must not tug localization).
+    vis_geom_features: bool = False
+    vis_geom_taus: tuple = (0.05, 0.2, 1.0)
+    # Hidden width of the visibility head MLP (0 = reference's single
+    # Linear; >0 inserts one GELU hidden layer).
+    vis_head_hidden: int = 0
     knn_backend: str = "auto"
     # Unroll factor of the update transformer's scanned layer stack.
     # Measured on v5e at the flagship bench shapes (cold compile / step):
@@ -267,6 +285,8 @@ class MVTracker(nn.Module):
         # == LayerNorm with affine at eps 1e-5, then Linear+GELU.
         self.ffeats_norm = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False)
         self.ffeats_updater = nn.Dense(self.fmaps_dim)
+        if self.vis_head_hidden > 0:
+            self.vis_hidden = nn.Dense(self.vis_head_hidden)
         self.vis_predictor = nn.Dense(1)
         if self.use_point_transformer:
             from mvtracker_tpu.models.point_transformer import SerializedPointTransformer
@@ -352,6 +372,74 @@ class MVTracker(nn.Module):
             fvec, query_t[None, :, None], axis=0, mode="clip"
         )[0]  # [N, C]
 
+    def _vis_geom_features(self, geom_w, coords):
+        """Per-view depth z-test features for the visibility head.
+
+        geom_w: (depths [V, S, H, W] FULL-RES depth, intrs [V, S, 3, 3],
+        extrs [V, S, 3, 4]).
+        coords: [S, N, 3] world points (already stop-gradiented).
+
+        For every view: project, bilinearly sample the full-res depth, and
+        score the signed clearance c = depth - camera_z with tanh(c / tau)
+        per tolerance tau (c >= 0: point on or in front of the rendered
+        surface -> visible there; c < 0: behind -> occluded). Aggregated
+        over views (masked max + masked mean per tau, plus the valid-view
+        fraction) so the feature width is view-count-independent. This
+        mirrors the z-test that defines GT visibility in the data factories
+        (e.g. the Kubric loader's depth z-test and the synthetic renderer);
+        the reference's vis head has no such direct evidence. Full-res (not
+        stride-subsampled) depth matters: measured on a synthetic scene with
+        GT coords, the best-view clearance alone labels 91.4% of
+        (frame, track) visibilities correctly at full res vs 87.5% strided
+        (always-visible baseline: 64%). Cost is V bilinear gathers per
+        (frame, track) from a map already resident in HBM.
+        Returns [S, N, 2 * len(taus) + 1].
+        """
+        depths_f, intrs, extrs = geom_w
+        v, s, h, w = depths_f.shape
+        n = coords.shape[1]
+        coords_v = jnp.broadcast_to(coords[None], (v, s, n, 3))
+        pix, z = geo.world_to_pixel_xy_and_camera_z(
+            coords_v, intrs, extrs
+        )  # [V, S, N, 2], [V, S, N, 1]
+        z = z[..., 0]
+        d = geo.bilinear_sample2d(
+            depths_f.reshape(v * s, h, w, 1),
+            pix[..., 0].reshape(v * s, n),
+            pix[..., 1].reshape(v * s, n),
+        ).reshape(v, s, n)
+        inb = (
+            (pix[..., 0] >= 0)
+            & (pix[..., 0] <= w - 1)
+            & (pix[..., 1] >= 0)
+            & (pix[..., 1] <= h - 1)
+            & (z > 1e-3)
+        )
+        valid = inb & (d > 0)  # depth==0 pixels carry no surface evidence
+        clearance = d - z  # [V, S, N]
+        feats = []
+        for tau in self.vis_geom_taus:
+            sc = jnp.tanh(clearance / tau)
+            sc_masked = jnp.where(valid, sc, -1.0)
+            feats.append(sc_masked.max(axis=0))  # best-view evidence
+            cnt = jnp.maximum(valid.sum(axis=0), 1)
+            feats.append(jnp.where(valid, sc, 0.0).sum(axis=0) / cnt)
+        feats.append(valid.mean(axis=0).astype(jnp.float32) * 2.0 - 1.0)
+        return jnp.stack(feats, axis=-1)  # [S, N, 2*len(taus)+1]
+
+    def _vis_logits(self, ffeats, geom_w, coords):
+        """Visibility head: reference single Linear on track features
+        (`mvtracker.py:408`), optionally widened with geometric z-test
+        evidence and/or one hidden layer (vis_geom_features /
+        vis_head_hidden, both off by default)."""
+        x = ffeats
+        if self.vis_geom_features and geom_w is not None:
+            gfeats = self._vis_geom_features(geom_w, jax.lax.stop_gradient(coords))
+            x = jnp.concatenate([x, gfeats.astype(x.dtype)], axis=-1)
+        if self.vis_head_hidden > 0:
+            x = nn.gelu(self.vis_hidden(x), approximate=False)
+        return self.vis_predictor(x)[..., 0]  # [S, N]
+
     def forward_iteration(
         self,
         context_w,  # windowed correlation context (variant-specific pytree)
@@ -361,6 +449,7 @@ class MVTracker(nn.Module):
         active,  # [N] bool — tracks visible to the virtual tokens
         feat_init,  # [N, C]
         iters: int,
+        geom_w=None,  # optional (depths_s, intrs, extrs) for vis_geom_features
     ):
         """Iterative refinement within one window.
 
@@ -434,7 +523,7 @@ class MVTracker(nn.Module):
         (coords, ffeats), coords_stack = scanned(self, (coords0, ffeats0), None)
         coord_predictions = [coords_stack[i] for i in range(iters)]
 
-        vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
+        vis_logits = self._vis_logits(ffeats, geom_w, coords)  # [S, N]
         return coord_predictions, vis_logits
 
     def _corr_features(self, context_w, coords, ffeats, knn_cache=None):
@@ -622,7 +711,7 @@ class MVTracker(nn.Module):
             carry: (coords_last [S,N,3], vis_last [S,N]) from previous window.
             """
             coords_last, vis_last = carry
-            context_c, feat_init_c, query_t_c, query_xyz_c, qt_min_c = const
+            context_c, geom_c, feat_init_c, query_t_c, query_xyz_c, qt_min_c = const
 
             frame_idx = jnp.minimum(w_start + jnp.arange(s), t - 1)  # [S]
             is_first = w_start == qt_min_c
@@ -661,10 +750,15 @@ class MVTracker(nn.Module):
             context_w = jax.tree.map(
                 lambda a: jnp.take(a, frame_idx, axis=0), context_c
             )
+            geom_w = (
+                jax.tree.map(lambda a: jnp.take(a, frame_idx, axis=1), geom_c)
+                if geom_c is not None
+                else None
+            )
 
             coord_preds, vis_logits = mdl.forward_iteration(
                 context_w, coords_init, vis_init, track_mask, active, feat_init_c,
-                iters=iters,
+                iters=iters, geom_w=geom_w,
             )
             new_carry = (coord_preds[-1], vis_logits)
             ys = (jnp.stack(coord_preds), vis_logits, active)
@@ -682,7 +776,8 @@ class MVTracker(nn.Module):
             jnp.broadcast_to(query_xyz[None], (s, n, 3)),
             jnp.full((s, n), 10.0, jnp.float32),
         )
-        const = (context, feat_init, query_t, query_xyz, qt_min)
+        geom = (depths, intrs, extrs) if self.vis_geom_features else None
+        const = (context, geom, feat_init, query_t, query_xyz, qt_min)
         _, (all_coords, all_vis, all_active) = scanned(
             self, carry0, const, starts_dyn
         )

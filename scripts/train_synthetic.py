@@ -36,9 +36,20 @@ def main():
     parser.add_argument("--eval_every", type=int, default=0,
                         help="periodic held-out eval vs CopyCat every N steps "
                         "(appended to <exp_dir>/eval_log.jsonl); 0 disables")
-    parser.add_argument("--model_size", choices=["small", "medium"], default="small",
+    parser.add_argument("--model_size", choices=["small", "medium", "flagship"],
+                        default="small",
                         help="small: the historical smoke config; medium: "
-                        "2x width/depth for longer fresh-scene runs")
+                        "2x width/depth for longer fresh-scene runs; "
+                        "flagship: reference-width (fmaps 128, depth 6+6, "
+                        "64 virtual tracks, k=16, 4 corr levels)")
+    parser.add_argument("--vis_geom", action="store_true",
+                        help="feed per-view depth z-test features into the "
+                        "visibility head (vis_geom_features)")
+    parser.add_argument("--vis_head_hidden", type=int, default=0,
+                        help="hidden width of the visibility head MLP "
+                        "(0 = reference single Linear)")
+    parser.add_argument("--n_tracks", type=int, default=32)
+    parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--watchdog_exit", action="store_true",
                         help="hard-kill the process after a watchdog hang dump "
                         "(for scripts/run_supervised_train.sh restart loops)")
@@ -87,11 +98,22 @@ def main():
             time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
             compute_dtype="bfloat16",
         ),
+        # Reference-width model (mvtracker.py:94-128 defaults: fmaps 128,
+        # 6+6 depth, 64 virtual tracks, k=16, 4 corr levels); window stays
+        # 8 on the 12-frame synthetic clips so chaining is exercised.
+        "flagship": dict(
+            fmaps_dim=128, num_heads=8, hidden_size=384, space_depth=6,
+            time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
+            corr_n_levels=4, compute_dtype="bfloat16",
+        ),
     }
-    model = MVTracker(**{**base, **sizes[args.model_size]})
+    model = MVTracker(**{**base, **sizes[args.model_size],
+                         "vis_geom_features": args.vis_geom,
+                         "vis_head_hidden": args.vis_head_hidden})
     kw = dict(
-        n_views=args.views, n_frames=12, height=args.res, width=args.res,
-        n_tracks=32, motion_speed=args.motion_speed, rotate_objects=args.rotate,
+        n_views=args.views, n_frames=args.frames, height=args.res, width=args.res,
+        n_tracks=args.n_tracks, motion_speed=args.motion_speed,
+        rotate_objects=args.rotate,
         valid_from_visibility=args.valid_vis, focal_factor=args.focal,
         texture_detail=args.texture_detail,
     )

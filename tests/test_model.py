@@ -338,3 +338,50 @@ def test_nondivisible_attention_depths_raise():
         )
         with pytest.raises(ValueError, match="multiple"):
             m.init(jax.random.PRNGKey(0), *args, iters=1)
+
+
+def test_vis_geom_features_and_hidden_head(rng):
+    """Opt-in visibility upgrades (VERDICT r2 #1c): geometric z-test
+    features + hidden head must compile, produce finite logits, and carry
+    gradient into the vis head; the geom features themselves must separate
+    visible from occluded given ground-truth coords."""
+    from mvtracker_tpu.datasets import synthetic
+
+    dp = synthetic.render_scene(
+        seed=1, n_views=2, n_frames=8, height=32, width=32, n_tracks=8
+    )
+    model = MVTracker(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+        vis_geom_features=True, vis_head_hidden=32,
+    )
+    args = (
+        jnp.asarray(dp.video), jnp.asarray(dp.videodepth),
+        jnp.asarray(dp.query_points_3d), jnp.asarray(dp.intrs),
+        jnp.asarray(dp.extrs),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, iters=1, is_train=True)
+    out = model.apply(params, *args, iters=1, is_train=True)
+    assert np.isfinite(np.asarray(out["vis"])).all()
+    # vis-head params exist and receive gradient from the vis loss alone.
+    assert "vis_hidden" in params["params"]
+
+    def vis_loss(p):
+        o = model.apply(p, *args, iters=1, is_train=True)
+        return (o["train_data"]["vis_predictions"] ** 2).mean()
+
+    g = jax.grad(vis_loss)(params)
+    assert float(jnp.abs(g["params"]["vis_hidden"]["kernel"]).sum()) > 0
+    # Geometry must NOT receive gradient through the stop_gradiented coords:
+    # the coord path's params still get gradient from the ffeats pathway,
+    # so instead check the geom features' discriminative power directly.
+    geom_w = (args[1], args[3], args[4])
+    feats = np.asarray(
+        model._vis_geom_features(geom_w, jnp.asarray(dp.trajectory_3d))
+    )
+    vis_any = dp.visibility.any(axis=0)
+    best = feats[..., 0] > -0.5  # best-view clearance at the tightest tau
+    acc = (best == vis_any).mean()
+    trivial = max(vis_any.mean(), 1 - vis_any.mean())
+    assert acc > trivial, f"geom feature acc {acc:.3f} <= trivial {trivial:.3f}"
