@@ -70,6 +70,14 @@ class VGGTConfig:
     dpt_features: int = 256
     dpt_out_channels: tuple = (256, 512, 1024, 1024)
     compute_dtype: object = None
+    # Patch embed: "conv" = single conv patchify (reference Aggregator
+    # patch_embed="conv" mode); "dinov2" = full DINOv2 ViT front-end, the
+    # VGGT-1B configuration (`aggregator.py:63` defaults to
+    # "dinov2_vitl14_reg") — required for ingesting released weights.
+    patch_embed: str = "dinov2"
+    vit_depth: int = 24  # DINOv2 ViT-L (vision_transformer.py:379-390)
+    vit_num_heads: int = 16
+    vit_init_values: float = 1.0  # vit factory default (:155)
 
     @property
     def intermediate_layer_idx(self) -> tuple:
@@ -87,6 +95,7 @@ def tiny_config(**over) -> VGGTConfig:
         img_size=56, patch_size=14, embed_dim=64, depth=4, num_heads=4,
         num_register_tokens=2, camera_trunk_depth=2, dpt_features=32,
         dpt_out_channels=(32, 48, 64, 64),
+        patch_embed="conv", vit_depth=2, vit_num_heads=4,
     )
     base.update(over)
     return VGGTConfig(**base)
@@ -159,6 +168,10 @@ class VGGTBlock(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 0.01
     rope_freq: float = 100.0
+    # Aggregator alternating blocks use QK-norm (`aggregator.py:66`);
+    # the DINOv2 front-end and the camera-head trunk do NOT (torch Block
+    # default qk_norm=False, `layers/block.py:44` / `camera_head.py:51-60`).
+    qk_norm: bool = True
     dtype: object = None
 
     @nn.compact
@@ -167,7 +180,8 @@ class VGGTBlock(nn.Module):
         ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (self.dim,))
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = VGGTAttention(
-            self.dim, self.num_heads, self.rope_freq, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, self.rope_freq, qk_norm=self.qk_norm,
+            dtype=self.dtype, name="attn",
         )(y, pos)
         x = x + ls1 * y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -175,6 +189,77 @@ class VGGTBlock(nn.Module):
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + ls2 * y
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 patch embed (layers/vision_transformer.py: DinoVisionTransformer)
+# ---------------------------------------------------------------------------
+
+
+class DinoPatchEmbed(nn.Module):
+    """DINOv2 ViT front-end producing `x_norm_patchtokens`.
+
+    VGGT-1B patchifies with a full DINOv2 ViT-L/14-reg
+    (`aggregator.py:163-186`), not a single conv: conv patchify + cls token
+    + interpolated positional embedding + register tokens + `vit_depth`
+    pre-LN blocks (LayerScale init 1.0, NO qk-norm, NO rope) + final
+    LayerNorm, returning only the normalized patch tokens
+    (`vision_transformer.py:254-330`). Required so released VGGT-1B
+    checkpoints map onto this model.
+    """
+
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x [B, H, W, 3] (already RGB-normalized) -> [B, P, C] patch tokens."""
+        cfg = self.cfg
+        b, h, w, _ = x.shape
+        c = cfg.embed_dim
+        ps = cfg.patch_size
+        hp, wp = h // ps, w // ps
+        patches = nn.Conv(
+            c, (ps, ps), strides=(ps, ps), dtype=cfg.compute_dtype, name="proj"
+        )(x).reshape(b, hp * wp, c)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, c))
+        # Stored at the training grid (img_size/patch)^2 + 1 cls slot;
+        # bicubic-interpolated to the runtime grid like
+        # `interpolate_pos_encoding` (vision_transformer.py:179-211).
+        grid = cfg.img_size // ps
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, grid * grid + 1, c)
+        )
+        register_tokens = self.param(
+            "register_tokens",
+            nn.initializers.zeros,
+            (1, cfg.num_register_tokens, c),
+        )
+        pos_cls, pos_patch = pos_embed[:, :1], pos_embed[:, 1:]
+        if (hp, wp) != (grid, grid):
+            pos_patch = jax.image.resize(
+                pos_patch.reshape(1, grid, grid, c), (1, hp, wp, c), "cubic"
+            ).reshape(1, hp * wp, c)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, c)), patches], axis=1
+        )
+        tokens = tokens + jnp.concatenate([pos_cls, pos_patch], axis=1)
+        tokens = jnp.concatenate(
+            [
+                tokens[:, :1],
+                jnp.broadcast_to(register_tokens, (b, cfg.num_register_tokens, c)),
+                tokens[:, 1:],
+            ],
+            axis=1,
+        )
+        for i in range(cfg.vit_depth):
+            tokens = VGGTBlock(
+                c, cfg.vit_num_heads, cfg.mlp_ratio,
+                init_values=cfg.vit_init_values, rope_freq=-1.0, qk_norm=False,
+                dtype=cfg.compute_dtype, name=f"block_{i}",
+            )(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        return tokens[:, 1 + cfg.num_register_tokens:]
 
 
 # ---------------------------------------------------------------------------
@@ -194,17 +279,20 @@ class Aggregator(nn.Module):
         std = jnp.asarray(_RESNET_STD)
         x = (images - mean) / std
 
-        # Conv patchify (reference patch_embed="conv").
         x = x.reshape(b * s, h, w, 3)
-        patches = nn.Conv(
-            cfg.embed_dim,
-            (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            dtype=cfg.compute_dtype,
-            name="patch_embed",
-        )(x)
         hp, wp = h // cfg.patch_size, w // cfg.patch_size
-        patches = patches.reshape(b * s, hp * wp, cfg.embed_dim)
+        if cfg.patch_embed == "dinov2":
+            # Full DINOv2 ViT front-end (the VGGT-1B configuration).
+            patches = DinoPatchEmbed(cfg, name="patch_vit")(x)
+        else:
+            # Single-conv patchify (reference patch_embed="conv").
+            patches = nn.Conv(
+                cfg.embed_dim,
+                (cfg.patch_size, cfg.patch_size),
+                strides=(cfg.patch_size, cfg.patch_size),
+                dtype=cfg.compute_dtype,
+                name="patch_embed",
+            )(x).reshape(b * s, hp * wp, cfg.embed_dim)
 
         # Camera + register tokens: index 0 for frame 0, index 1 for the rest
         # (aggregator.py:124-125, slice_expand_and_flatten).
@@ -283,7 +371,7 @@ class CameraHead(nn.Module):
         trunk = [
             VGGTBlock(
                 dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
-                rope_freq=-1.0, name=f"trunk_{d}",
+                rope_freq=-1.0, qk_norm=False, name=f"trunk_{d}",
             )
             for d in range(cfg.camera_trunk_depth)
         ]
@@ -387,21 +475,38 @@ class DPTHead(nn.Module):
         b, s, h, w, _ = images.shape
         hp, wp = h // cfg.patch_size, w // cfg.patch_size
         feats = []
+        # The reference's single shared LayerNorm over the tapped tokens
+        # (`dpt_head.py:66`); one module applied to all four taps.
+        tap_norm = nn.LayerNorm(name="norm")
         for li, layer in enumerate(cfg.intermediate_layer_idx):
             t = aggregated[layer][:, :, patch_start_idx:]  # [B, S, P, 2C]
-            t = nn.LayerNorm(name=f"norm_{li}")(t)
+            t = tap_norm(t)
             t = t.reshape(b * s, hp, wp, t.shape[-1])
             t = nn.Conv(
                 cfg.dpt_out_channels[li], (1, 1), dtype=cfg.compute_dtype,
                 name=f"project_{li}",
             )(t)
-            # Reassemble to pyramid scales: 4x, 2x, 1x, 0.5x of patch grid.
-            scale = (4, 2, 1, 0.5)[li]
-            nh, nw = int(hp * scale), int(wp * scale)
-            t = jax.image.resize(t, (b * s, nh, nw, t.shape[-1]), "bilinear")
+            # Reassemble to pyramid scales with LEARNED resize layers
+            # (`dpt_head.py:83-96`): 4x/2x deconvs, identity, stride-2 conv.
+            oc = cfg.dpt_out_channels[li]
+            if li == 0:
+                t = nn.ConvTranspose(
+                    oc, (4, 4), strides=(4, 4), dtype=cfg.compute_dtype,
+                    name="resize_0",
+                )(t)
+            elif li == 1:
+                t = nn.ConvTranspose(
+                    oc, (2, 2), strides=(2, 2), dtype=cfg.compute_dtype,
+                    name="resize_1",
+                )(t)
+            elif li == 3:
+                t = nn.Conv(
+                    oc, (3, 3), strides=(2, 2), padding=1,
+                    dtype=cfg.compute_dtype, name="resize_3",
+                )(t)
             t = nn.Conv(
-                cfg.dpt_features, (3, 3), padding=1, dtype=cfg.compute_dtype,
-                name=f"scratch_{li}",
+                cfg.dpt_features, (3, 3), padding=1, use_bias=False,
+                dtype=cfg.compute_dtype, name=f"scratch_{li}",
             )(t)
             feats.append(t)
 
@@ -414,9 +519,11 @@ class DPTHead(nn.Module):
         x = jax.image.resize(x, feats[0].shape[:1] + feats[0].shape[1:3] + x.shape[-1:], "bilinear")
         x = _FusionBlock(cfg.dpt_features, dtype=cfg.compute_dtype, name="refine1")(x, feats[0])
 
-        x = nn.Conv(cfg.dpt_features, (3, 3), padding=1, dtype=cfg.compute_dtype, name="out_conv1")(x)
+        # Output stack (`dpt_head.py:117-127`): features -> features/2,
+        # upsample to pixels, -> 32 -> output_dim.
+        x = nn.Conv(cfg.dpt_features // 2, (3, 3), padding=1, dtype=cfg.compute_dtype, name="out_conv1")(x)
         x = jax.image.resize(x, (b * s, h, w, x.shape[-1]), "bilinear")
-        x = nn.Conv(cfg.dpt_features // 2, (3, 3), padding=1, name="out_conv2a")(x)
+        x = nn.Conv(32, (3, 3), padding=1, name="out_conv2a")(x)
         x = nn.relu(x)
         x = nn.Conv(self.output_dim, (1, 1), name="out_conv2b")(x)
 
