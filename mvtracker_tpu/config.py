@@ -217,17 +217,33 @@ def build_model(mc: ModelConfig):
         # spatracker_monocular — `configs/model/*.yaml`): every entry is a
         # 2D/monocular tracker lifted to the multi-view 3D API by
         # `MonocularToMultiViewAdapter` (reference
-        # `monocular_baselines.py:604`). The external checkpoints those
-        # wrappers download are unavailable here (zero egress), so each
-        # name maps to the adapter over the in-repo correlation tracker —
-        # same API, same evaluator path; swap `tracker_2d` for a ported
-        # network to reproduce a specific baseline.
+        # `monocular_baselines.py:604`). Hub-backed names go through the
+        # wrapper layer (models/hub_baselines.py) when the checkpoint is
+        # available (torch.hub cache, or any network); otherwise — and for
+        # the names whose vendored repos are absent — the adapter runs
+        # over the in-repo correlation tracker with a warning: same API,
+        # same evaluator path, weights are the only difference.
         from mvtracker_tpu.models.monocular import (
             MonocularToMultiViewAdapter,
             SimpleNNTracker2D,
         )
 
-        return MonocularToMultiViewAdapter(SimpleNNTracker2D())
+        try:
+            from mvtracker_tpu.models.hub_baselines import (
+                load_monocular_hub_tracker,
+            )
+
+            tracker = load_monocular_hub_tracker(mc.name)
+        except Exception as e:  # offline / repo missing / unknown entry
+            import logging
+
+            logging.warning(
+                "monocular baseline %r unavailable (%s); falling back to "
+                "the in-repo NCC tracker through the same adapter",
+                mc.name, e,
+            )
+            tracker = SimpleNNTracker2D()
+        return MonocularToMultiViewAdapter(tracker)
     raise ValueError(f"unknown model family: {mc.name}")
 
 
