@@ -215,6 +215,11 @@ class MVTracker(nn.Module):
     # Linear; >0 inserts one GELU hidden layer).
     vis_head_hidden: int = 0
     knn_backend: str = "auto"
+    # Correlation kernel dispatch ("auto" = fused Pallas on TPU, gather+
+    # einsum elsewhere; "pallas_interpret" runs the TPU kernel under the
+    # Pallas interpreter so CPU-mesh tests cover the SPMD-partitioner x
+    # pallas_call interaction of the sharded step).
+    corr_backend: str = "auto"
     # Unroll factor of the update transformer's scanned layer stack.
     # Measured on v5e at the flagship bench shapes (cold compile / step):
     # unroll=1 17s/94.9ms, 2 18s/92.9ms, 3 20s/93.5ms, 6 31s/93.1ms —
@@ -570,6 +575,7 @@ class MVTracker(nn.Module):
                 groups=self.corr_n_groups,
                 add_neighbor_offset=self.corr_add_neighbor_offset,
                 add_neighbor_xyz=self.corr_add_neighbor_xyz,
+                backend=self.corr_backend,
                 # bf16 stream matches the reference's bf16-autocast corr.
                 compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else None,
             )  # [S, N, K, F]

@@ -68,21 +68,22 @@ def corr_sample(
     single-group case (avoids the slow random-access feature gather); the
     gather+einsum path covers everything else.
     """
-    if backend == "pallas" and groups != 1:
+    if backend in ("pallas", "pallas_interpret") and groups != 1:
         # Honor the explicit request instead of silently serving the slow
         # gather path (the fused kernel is single-group only).
         raise ValueError("corr backend='pallas' supports groups == 1 only")
     use_pallas = (
-        backend in ("auto", "pallas")
+        backend in ("auto", "pallas", "pallas_interpret")
         and groups == 1
-        and (backend == "pallas" or jax.default_backend() not in ("cpu", "gpu"))
+        and (backend != "auto" or jax.default_backend() not in ("cpu", "gpu"))
     )
     if use_pallas:
         from mvtracker_tpu.ops.corr_pallas import corr_select_pallas
 
         c = cloud_fvec.shape[-1]
         corr = corr_select_pallas(
-            cloud_fvec, targets, neighbor_idx, None, 2048, False, compute_dtype
+            cloud_fvec, targets, neighbor_idx, None, 2048,
+            backend == "pallas_interpret", compute_dtype,
         )
         out = (corr[..., None] / jnp.sqrt(float(c))).astype(targets.dtype)
     else:

@@ -578,6 +578,13 @@ def knn(ref: jax.Array, query: jax.Array, k: int, backend: str = "auto"):
             return knn_pallas_packed(ref, query, k)
         chunk = 4096 if n >= 4096 else max(512, 1 << (n - 1).bit_length())
         return knn_pallas_fused(ref, query, k, chunk=chunk)
+    if backend == "pallas_interpret":
+        # The TPU kernel under the Pallas interpreter: runs anywhere (CPU
+        # meshes included), so the SPMD-partitioner x pallas_call
+        # interaction of the sharded step is testable without N chips.
+        n = ref.shape[1]
+        chunk = 4096 if n >= 4096 else max(512, 1 << (n - 1).bit_length())
+        return knn_pallas_fused(ref, query, k, chunk=chunk, interpret=True)
     if backend == "pallas_packed":
         return knn_pallas_packed(ref, query, k)
     if backend == "reference":
