@@ -46,7 +46,9 @@ from mvtracker_tpu.utils import embeddings as emb
 from mvtracker_tpu.utils import geometry as geo
 
 
-def compute_scene_normalization(depths, extrs, intrs, max_depth: float = 24.0):
+def compute_scene_normalization(
+    depths, extrs, intrs, max_depth: float = 24.0, stat_stride: int = 4
+):
     """VGGT-style scene normalization transform (scale, R, t).
 
     Mirrors reference `compute_vggt_scene_normalization_transform`
@@ -56,26 +58,32 @@ def compute_scene_normalization(depths, extrs, intrs, max_depth: float = 24.0):
     reference's depth clamp to >= max_depth before computing the scale
     (`mvtracker.py:466-467`).
 
-    depths [V, T, H, W] (strided ok), extrs [V, T, 3, 4], intrs [V, T, 3, 3].
+    The statistic is computed on a `stat_stride`-subsampled pixel grid:
+    the reference also derives it from strided depth, and a one-scalar
+    mean does not need a V*H*W*3 full-res unprojection (round-2 review
+    flagged the full-res version as wasted work on the normalized path).
+
+    depths [V, T, H, W], extrs [V, T, 3, 4], intrs [V, T, 3, 3].
     """
-    v = depths.shape[0]
+    s = stat_stride
     # NOTE: this RAISES all depths below 24 to 24 — almost certainly meant
     # to CAP far outliers, but it is exactly what the reference executes
     # (`_d[_d < max_depth] = max_depth`, `mvtracker.py:466-467`) and the
     # released checkpoint was produced under it, so it is kept verbatim for
     # numerical parity. Scale still varies with camera geometry.
-    d0 = jnp.maximum(depths[:, 0], max_depth)  # reference's (quirky) clamp
+    d0_raw = depths[:, 0, ::s, ::s]
+    d0 = jnp.maximum(d0_raw, max_depth)  # reference's (quirky) clamp
     world = geo.unproject_depth_to_world(
         d0,
         geo.invert_intrinsics(intrs[:, 0]),
         geo.invert_extrinsics(extrs[:, 0]),
-        stride=1,
-    )  # [V, H, W, 3]
+        stride=s,
+    )  # [V, H/s, W/s, 3]
     pts = world.reshape(-1, 3)
     e0 = extrs[0, 0]  # [3, 4] world->cam of first camera
     pts_h = geo.to_homogeneous(pts)
     in_first = jnp.einsum("ij,nj->ni", e0, pts_h)
-    valid = (depths[:, 0] > 0).reshape(-1)
+    valid = (d0_raw > 0).reshape(-1)
     dist = jnp.linalg.norm(in_first, axis=-1)
     avg = jnp.sum(dist * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     scale = 1.0 / avg

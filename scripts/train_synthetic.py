@@ -54,6 +54,10 @@ def main():
                         help="hard-kill the process after a watchdog hang dump "
                         "(for scripts/run_supervised_train.sh restart loops)")
     parser.add_argument("--watchdog_timeout", type=float, default=600.0)
+    parser.add_argument("--sync_every", type=int, default=1,
+                        help="device-sync (loss fetch) cadence; >1 pipelines "
+                        "host->device transfers with compute (TrainConfig."
+                        "sync_every)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="checkpoint frequency override (0 = auto)")
     parser.add_argument("--vis_loss_weight", type=float, default=0.1,
@@ -142,6 +146,7 @@ def main():
         watchdog_timeout_s=args.watchdog_timeout,
         watchdog_exit=args.watchdog_exit,
         visibility_loss_weight=args.vis_loss_weight,
+        sync_every=args.sync_every,
         eval_freq=args.eval_every if args.eval_every else 10**9,
         telemetry_freq=200,
         exp_dir=args.exp_dir,
