@@ -46,20 +46,11 @@ def cmd_process(args):
 def cmd_render(args):
     import numpy as np
 
-    from mvtracker_tpu.droid.transforms import project_tracks_to_2d
+    from mvtracker_tpu.droid.transforms import (
+        estimate_zed_intrinsics,
+        project_tracks_to_2d,
+    )
     from mvtracker_tpu.viz.mp4 import render_tracks_on_video, save_video
-
-    tracks = np.load(os.path.join(args.episode_out, "tracks.npz"))
-    key = f"tracks_2d_{args.camera}"
-    if key in tracks:
-        tracks_2d = tracks[key]
-    else:
-        extr = np.load(os.path.join(args.episode_out, "extrinsics.npz"))
-        pose = extr[f"external_{args.camera}"] if f"external_{args.camera}" in extr else extr["wrist"]
-        k = np.asarray(json.loads(args.intrinsics)) if args.intrinsics else np.eye(3)
-        tracks_2d = project_tracks_to_2d(
-            tracks["tracks_3d"], k, pose, args.width, args.height
-        )
 
     if os.path.isdir(args.video):
         import imageio.v3 as iio
@@ -72,6 +63,28 @@ def cmd_render(args):
         import imageio.v3 as iio
 
         video = np.asarray(iio.imread(args.video))[..., :3]
+
+    tracks = np.load(os.path.join(args.episode_out, "tracks.npz"))
+    key = f"tracks_2d_{args.camera}"
+    if key in tracks:
+        tracks_2d = tracks[key]
+    else:
+        extr = np.load(os.path.join(args.episode_out, "extrinsics.npz"))
+        pose = extr[f"external_{args.camera}"] if f"external_{args.camera}" in extr else extr["wrist"]
+        if args.intrinsics:
+            k = np.asarray(json.loads(args.intrinsics))
+        else:
+            # Reference fallback (`render_tracks_from_mp4.py:567-596`):
+            # estimate ZED intrinsics from the actual video dimensions.
+            h_v, w_v = video.shape[1:3]
+            k = estimate_zed_intrinsics(w_v, h_v)
+            logging.info(
+                "no intrinsics given; estimated ZED K from %dx%d video "
+                "(fx=%.1f)", w_v, h_v, k[0, 0],
+            )
+        tracks_2d = project_tracks_to_2d(
+            tracks["tracks_3d"], k, pose, video.shape[2], video.shape[1]
+        )
     t = min(len(video), len(tracks_2d))
     frames = render_tracks_on_video(
         video[:t], np.nan_to_num(tracks_2d[:t], nan=-1e4)

@@ -111,3 +111,20 @@ def project_tracks_to_2d(
     pix = pix.astype(np.float32)
     pix[invalid] = np.nan
     return pix
+
+
+def estimate_zed_intrinsics(width: int, height: int) -> np.ndarray:
+    """Approximate ZED-2 intrinsics from video dimensions.
+
+    Mirrors reference `render_tracks_from_mp4.py:567-596`
+    (`estimate_zed_intrinsics`): the render path falls back to a typical
+    ZED-2 focal (fx ~ 0.42 * width, ~110 deg HFOV class, square pixels,
+    principal point at the image center) when an episode's
+    `intrinsics.json` is missing — good enough for visualization overlays,
+    not for metric work.
+    """
+    fx = 0.42 * width
+    return np.array(
+        [[fx, 0.0, width / 2.0], [0.0, fx, height / 2.0], [0.0, 0.0, 1.0]],
+        dtype=np.float64,
+    )

@@ -304,3 +304,41 @@ def test_process_episodes_batch_multiprocess(tmp_path):
     )
     assert results == {"ok": 2, "skipped": 0, "failed": 0}, results
     assert not os.path.exists(os.path.join(out_root, "failed_episodes.txt"))
+
+
+def test_render_cli_estimates_zed_intrinsics(tmp_path, caplog):
+    """Reference parity (`render_tracks_from_mp4.py:567-596`): with no cached
+    2D tracks and no --intrinsics, the render CLI estimates ZED intrinsics
+    from the actual video dimensions instead of projecting through identity."""
+    import imageio.v3 as iio
+
+    from mvtracker_tpu.cli import droid as droid_cli
+    from mvtracker_tpu.droid.transforms import estimate_zed_intrinsics
+
+    k = estimate_zed_intrinsics(1280, 720)
+    assert abs(k[0, 0] - 0.42 * 1280) < 1e-6 and k[0, 2] == 640.0
+
+    ep = tmp_path / "ep"
+    ep.mkdir()
+    t, n = 4, 3
+    rng = np.random.default_rng(0)
+    tracks_3d = rng.uniform(-0.2, 0.2, size=(t, n, 3)) + [0, 0, 0.8]
+    np.savez(ep / "tracks.npz", tracks_3d=tracks_3d)
+    pose = np.eye(4)
+    pose[2, 3] = -0.2  # camera slightly behind origin looking +z
+    np.savez(ep / "extrinsics.npz", external_7=pose)
+    vid_dir = tmp_path / "frames"
+    vid_dir.mkdir()
+    for i in range(t):
+        iio.imwrite(vid_dir / f"{i:03d}.png",
+                    np.zeros((48, 64, 3), np.uint8))
+    out = tmp_path / "out.gif"
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        droid_cli.main([
+            "render", "--episode_out", str(ep), "--video", str(vid_dir),
+            "--camera", "7", "--out", str(out),
+        ])
+    assert out.exists()
+    assert any("estimated ZED K" in r.message for r in caplog.records)
