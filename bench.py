@@ -115,6 +115,34 @@ def main():
     mfu = achieved / peak if (achieved and peak) else None
 
     # ------------------------------------------------------------------
+    # Serving mode: corr_knn_reuse=True (one kNN per window reused across
+    # refinement iterations). Reported as separate fields — the headline
+    # stays exact-mode so `vs_baseline` keeps its round-1 lineage.
+    # Quality: measured metric-neutral on a trained tracker in round 2
+    # (AJ 40.80 -> 40.47, scripts/verify_knn_reuse_quality.py) and
+    # re-checked per round on the current checkpoint.
+    # ------------------------------------------------------------------
+    serving_model = MVTracker(compute_dtype="bfloat16", corr_knn_reuse=True)
+
+    @jax.jit
+    def fwd_serving(params, *args):
+        out = serving_model.apply(params, *args, iters=4)
+        return out["traj"], out["vis"]
+
+    traj_s, _ = fwd_serving(params, *args)
+    float(traj_s[0, 0, 0])
+
+    def timed_serving(reps: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            traj_s, _ = fwd_serving(params, *args)
+        float(traj_s[0, 0, 0])
+        return (time.perf_counter() - t0) / reps
+
+    timed_serving(3)
+    step_serving = min(timed_serving(10), timed_serving(10))
+
+    # ------------------------------------------------------------------
     # Train step (fwd + bwd + AdamW) at the overfit config.
     # ------------------------------------------------------------------
     from mvtracker_tpu.training import step as step_lib
@@ -217,6 +245,8 @@ def main():
         "unit": "point-frames/s",
         "vs_baseline": round(value / base, 3),
         "fwd_ms": round(step * 1e3, 2),
+        "fwd_ms_serving": round(step_serving * 1e3, 2),
+        "value_serving": round(n * t / step_serving, 1),
         "fwd_tflops": round(flops / 1e12, 3) if flops else None,
         "achieved_tflops_s": round(achieved / 1e12, 2) if achieved else None,
         "mfu": round(mfu, 4) if mfu else None,
