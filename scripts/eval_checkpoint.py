@@ -85,6 +85,10 @@ def main():
     parser.add_argument("--iters", type=int, nargs="+", default=[3])
     parser.add_argument("--grid", type=int, nargs="+", default=[0, 5])
     parser.add_argument("--vis_geom", action="store_true")
+    parser.add_argument("--knn_reuse", action="store_true",
+                        help="evaluate with corr_knn_reuse=True (the serving "
+                        "mode) to re-verify its metric-neutrality on this "
+                        "checkpoint")
     parser.add_argument("--vis_head_hidden", type=int, default=0)
     parser.add_argument("--thresholds", type=float, nargs="+",
                         default=[0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
@@ -122,7 +126,8 @@ def main():
     }
     model = MVTracker(**{**base, **sizes[args.model_size],
                          "vis_geom_features": args.vis_geom,
-                         "vis_head_hidden": args.vis_head_hidden})
+                         "vis_head_hidden": args.vis_head_hidden,
+                         "corr_knn_reuse": args.knn_reuse})
 
     scene_kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res,

@@ -82,11 +82,15 @@ def test_overfit_loss_decreases():
     state = step_lib.init_state(model, optimizer, example, jax.random.PRNGKey(0), iters=2)
     train_step = step_lib.make_train_step(model, optimizer, iters=2)
 
-    # Measured trend at this config: 2.92 -> ~1.9 by step 48 (the vis CE
-    # falls immediately; the coordinate loss needs a few dozen steps).
+    # Measured trend at this config with the ANALYTIC GT visibility labels
+    # (round 3): 2.94 -> ~2.45 by step 48. Exact labels start the vis CE
+    # lower than the old noisy z-buffer labels did, so the easy early
+    # reduction is smaller; the coordinate loss still needs a few dozen
+    # steps. Gate on a steady downward trend rather than one pinned ratio.
     losses = []
     for _ in range(48):
         state, metrics = train_step(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] * 0.75, losses
+    assert losses[-1] < losses[0] * 0.88, losses
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.95, losses
