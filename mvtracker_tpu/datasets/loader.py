@@ -10,6 +10,7 @@ statefulness (`cli/train.py:52,546`).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Iterator, Optional, Sequence
@@ -159,6 +160,7 @@ class SyntheticSceneDataset:
         cache: bool = False,
         randomize: bool = False,
         augment: bool = False,
+        disk_cache_dir: str | None = None,
         **render_kwargs,
     ):
         self.n_scenes = n_scenes
@@ -167,24 +169,66 @@ class SyntheticSceneDataset:
         self.augment = augment
         self.render_kwargs = render_kwargs
         self._cache: dict[int, Datapoint] = {} if cache else None
+        # Disk-backed render cache: a supervised on-chip run restarts after
+        # hangs (scripts/run_supervised_train.sh) and the in-memory cache
+        # dies with each worker process — at res 128 re-rendering 512
+        # scenes costs ~15 data-bound minutes per restart. Scenes are keyed
+        # by their seed; renderer-parameter changes need a fresh dir.
+        self._disk_dir = disk_cache_dir
+        if disk_cache_dir:
+            os.makedirs(disk_cache_dir, exist_ok=True)
 
     def __len__(self):
         return self.n_scenes
 
+    def _disk_path(self, scene_seed: int) -> str:
+        return os.path.join(self._disk_dir, f"scene_{scene_seed}.npz")
+
+    def _disk_load(self, scene_seed: int) -> Optional[Datapoint]:
+        path = self._disk_path(scene_seed)
+        if not os.path.exists(path):
+            return None
+        try:
+            z = np.load(path, allow_pickle=False)
+            return Datapoint(
+                **{k: z[k] for k in z.files if k != "seq_name"},
+                seq_name=f"synthetic_{scene_seed}",
+            )
+        except Exception:  # truncated write from a killed worker: re-render
+            return None
+
+    def _disk_save(self, scene_seed: int, dp: Datapoint):
+        import dataclasses as _dc
+
+        arrays = {
+            f.name: getattr(dp, f.name)
+            for f in _dc.fields(dp)
+            if isinstance(getattr(dp, f.name), np.ndarray)
+        }
+        # np.savez appends ".npz" to names without the suffix; keep it so
+        # the temp path is exactly what savez writes.
+        tmp = self._disk_path(scene_seed) + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self._disk_path(scene_seed))  # atomic vs readers
+
     def __getitem__(self, idx: int) -> Datapoint:
+        scene_seed = self.seed * 100_003 + idx
         if self._cache is not None and idx in self._cache:
             dp = self._cache[idx]
         else:
-            from mvtracker_tpu.datasets.synthetic import render_scene
+            dp = self._disk_load(scene_seed) if self._disk_dir else None
+            if dp is None:
+                from mvtracker_tpu.datasets.synthetic import render_scene
 
-            scene_seed = self.seed * 100_003 + idx
-            kwargs = dict(self.render_kwargs)
-            if self.randomize:
-                srng = np.random.default_rng(scene_seed + 17)
-                kwargs.setdefault("n_objects", int(srng.integers(3, 9)))
-                kwargs.setdefault("static_fraction", float(srng.uniform(0.0, 0.5)))
-                kwargs.setdefault("cam_radius", float(srng.uniform(3.0, 5.0)))
-            dp = render_scene(seed=scene_seed, **kwargs)
+                kwargs = dict(self.render_kwargs)
+                if self.randomize:
+                    srng = np.random.default_rng(scene_seed + 17)
+                    kwargs.setdefault("n_objects", int(srng.integers(3, 9)))
+                    kwargs.setdefault("static_fraction", float(srng.uniform(0.0, 0.5)))
+                    kwargs.setdefault("cam_radius", float(srng.uniform(3.0, 5.0)))
+                dp = render_scene(seed=scene_seed, **kwargs)
+                if self._disk_dir:
+                    self._disk_save(scene_seed, dp)
             if self._cache is not None:
                 self._cache[idx] = dp
         if self.augment:

@@ -126,7 +126,10 @@ def main():
     # cache would only grow unbounded (~2 MB/scene).
     train_ds = SyntheticSceneDataset(
         n_scenes=args.train_scenes, cache=args.train_scenes <= 1024, seed=0,
-        randomize=True, augment=args.augment, **kw
+        randomize=True, augment=args.augment,
+        # Survives supervisor restarts (the in-memory cache does not).
+        disk_cache_dir=os.path.join(args.exp_dir, "scene_cache"),
+        **kw
     )
     eval_ds = SyntheticSceneDataset(
         n_scenes=args.eval_scenes, cache=True, seed=777, randomize=True, **kw

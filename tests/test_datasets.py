@@ -157,3 +157,27 @@ def test_texture_detail_photoconsistent_and_rng_stable():
     # Only object pixels change; ground/background identical.
     obj = a.segmentation > 0
     assert np.all(diff[~obj] == 0)
+
+
+def test_synthetic_disk_cache_roundtrip(tmp_path):
+    """Disk-backed render cache: a second dataset instance (a restarted
+    worker process in the supervised-training flow) loads the identical
+    Datapoint instead of re-rendering; truncated files fall back to
+    re-render."""
+    from mvtracker_tpu.datasets.loader import SyntheticSceneDataset
+
+    kw = dict(n_scenes=1, cache=False, seed=9, randomize=True,
+              disk_cache_dir=str(tmp_path), n_views=2, n_frames=4,
+              height=32, width=32, n_tracks=8)
+    a = SyntheticSceneDataset(**kw)[0]
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    b = SyntheticSceneDataset(**kw)[0]
+    np.testing.assert_array_equal(a.video, b.video)
+    np.testing.assert_array_equal(a.trajectory_3d, b.trajectory_3d)
+    np.testing.assert_array_equal(a.visibility, b.visibility)
+    assert b.seq_name == a.seq_name
+    # Corrupt the cached file: loader must silently re-render.
+    files[0].write_bytes(b"not an npz")
+    c = SyntheticSceneDataset(**kw)[0]
+    np.testing.assert_array_equal(a.video, c.video)
