@@ -42,6 +42,10 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for MXU conv/attention
     corr_filter_invalid_depth: bool = False
     corr_knn_reuse: bool = False  # one kNN per window (fast, approximate)
+    corr_backend: str = "auto"
+    # Visibility-head upgrades (round 3; defaults = reference parity).
+    vis_geom_features: bool = False
+    vis_head_hidden: int = 0
     transformer_scan_unroll: int = 2
     # LoFTR gnn bank size; None keeps each family's own default
     # (0 for MVTracker, 100 for the triplane SpaTracker).
