@@ -428,6 +428,11 @@ def test_sharded_train_step_matches_single_device():
         num_virtual_tracks=4,
         corr_n_levels=2,
         corr_neighbors=4,
+        # r3 visibility pathway under sharding too: the geom features
+        # broadcast coords over the (sharded) view axis and gather from
+        # sharded depth maps — the partitioner must preserve parity.
+        vis_geom_features=True,
+        vis_head_hidden=16,
     )
     rng = np.random.default_rng(7)
     b, v, t, h, w, n = 8, 2, 6, 16, 16, 8
