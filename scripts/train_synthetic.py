@@ -54,6 +54,11 @@ def main():
                         help="hard-kill the process after a watchdog hang dump "
                         "(for scripts/run_supervised_train.sh restart loops)")
     parser.add_argument("--watchdog_timeout", type=float, default=600.0)
+    parser.add_argument("--no_adaptive", action="store_true",
+                        help="fixed train_iters every step (single compiled "
+                        "executable; the adaptive mix alternates programs, "
+                        "which serializes dispatch pipelining over the "
+                        "tunneled backend)")
     parser.add_argument("--sync_every", type=int, default=1,
                         help="device-sync (loss fetch) cadence; >1 pipelines "
                         "host->device transfers with compute (TrainConfig."
@@ -143,7 +148,7 @@ def main():
         lr=args.lr,
         schedule="cos",
         warmup_steps=100,
-        adaptive_iters=True,
+        adaptive_iters=not args.no_adaptive,
         train_iters=3,
         save_ckpt_freq=args.save_every or max(min(args.steps // 2, 2500), 500),
         watchdog_timeout_s=args.watchdog_timeout,
