@@ -289,3 +289,22 @@ class MonocularProxyDataset:
             valid=np.ones((t, n), bool),
             seq_name=f"{dp.seq_name}_view{vi}_2d",
         )
+
+
+def compress_batch_for_transfer(batch: dict) -> dict:
+    """Shrink the per-step host->device payload (tunneled chips especially).
+
+    rgbs (0..255 float) -> uint8 and depths -> float16: 12.6 MB -> ~4 MB
+    per flagship res-128 scene, i.e. ~3x less link time per step. The train
+    step casts back to f32 on-device (`training/step.py::scene_loss`).
+    uint8 rounding loses <0.5/255 of photometric precision (the reference
+    trains from uint8 sources anyway); float16 depth carries ~0.05%
+    relative error — ~2 mm at the synthetic domain's 3.5-unit working
+    distance, far under the 1-px geometric footprint.
+    """
+    out = dict(batch)
+    if "rgbs" in out and out["rgbs"].dtype != np.uint8:
+        out["rgbs"] = np.clip(np.rint(out["rgbs"]), 0, 255).astype(np.uint8)
+    if "depths" in out and out["depths"].dtype == np.float32:
+        out["depths"] = out["depths"].astype(np.float16)
+    return out

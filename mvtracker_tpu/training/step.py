@@ -107,11 +107,16 @@ def init_state(model, optimizer, example_scene, rng_key, iters: int = 4) -> Trai
 
 
 def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float):
-    """Loss for a single scene; the unit that gets vmapped over the batch."""
+    """Loss for a single scene; the unit that gets vmapped over the batch.
+
+    `rgbs` may arrive uint8 and `depths` float16 (compressed host->device
+    transfer, `datasets.loader.compress_batch_for_transfer`): the casts
+    back to f32 happen here on-device, where they are free.
+    """
     out = model.apply(
         params,
-        scene["rgbs"],
-        scene["depths"],
+        scene["rgbs"].astype(jnp.float32),
+        scene["depths"].astype(jnp.float32),
         scene["query_points"],
         scene["intrs"],
         scene["extrs"],

@@ -89,7 +89,11 @@ def main():
     )
     import numpy as np
 
-    from mvtracker_tpu.datasets.loader import PrefetchLoader, SyntheticSceneDataset
+    from mvtracker_tpu.datasets.loader import (
+        PrefetchLoader,
+        SyntheticSceneDataset,
+        compress_batch_for_transfer,
+    )
     from mvtracker_tpu.evaluation.evaluator import Evaluator
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
     from mvtracker_tpu.models.mvtracker import MVTracker
@@ -199,9 +203,10 @@ def main():
         return entry["ours"]
 
     os.makedirs(args.exp_dir, exist_ok=True)
-    state = trainer.fit(
-        loader.prefetching_iter(), max_steps=args.steps, eval_fn=eval_fn
+    data_iter = (
+        compress_batch_for_transfer(b) for b in loader.prefetching_iter()
     )
+    state = trainer.fit(data_iter, max_steps=args.steps, eval_fn=eval_fn)
 
     predictor = EvaluationPredictor(model, state.params, interp_shape=None, grid_size=0, n_iters=3)
     ours, _ = evaluator.evaluate_sequence(predictor, scenes)

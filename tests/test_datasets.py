@@ -181,3 +181,25 @@ def test_synthetic_disk_cache_roundtrip(tmp_path):
     files[0].write_bytes(b"not an npz")
     c = SyntheticSceneDataset(**kw)[0]
     np.testing.assert_array_equal(a.video, c.video)
+
+
+def test_compress_batch_for_transfer():
+    from mvtracker_tpu.datasets.loader import (
+        SyntheticSceneDataset,
+        compress_batch_for_transfer,
+    )
+    from mvtracker_tpu.datasets.datapoint import collate
+
+    ds = SyntheticSceneDataset(n_scenes=1, cache=True, seed=3, n_views=2,
+                               n_frames=4, height=32, width=32, n_tracks=8)
+    batch = collate([ds[0]])
+    cb = compress_batch_for_transfer(batch)
+    assert cb["rgbs"].dtype == np.uint8
+    assert cb["depths"].dtype == np.float16
+    # Payload shrinks ~3x; labels/geometry stay exact f32.
+    orig = sum(v.nbytes for v in batch.values() if hasattr(v, "nbytes"))
+    comp = sum(v.nbytes for v in cb.values() if hasattr(v, "nbytes"))
+    assert comp < orig * 0.4
+    np.testing.assert_array_equal(cb["traj_gt"], batch["traj_gt"])
+    assert np.abs(cb["rgbs"].astype(np.float32) - batch["rgbs"]).max() <= 0.5
+    assert np.abs(cb["depths"].astype(np.float32) - batch["depths"]).max() < 4e-3
