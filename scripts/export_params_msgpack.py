@@ -1,0 +1,68 @@
+"""Export a trained experiment's latest orbax checkpoint params to msgpack
+(for cross-architecture warm starts via Trainer.warm_start's non-strict
+merge: e.g. round-2 medium weights into a vis_geom-extended round-3 model).
+
+    python scripts/export_params_msgpack.py --exp_dir experiments/r2_medium_tex \
+        --model_size medium --out /tmp/r2_medium.msgpack
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--model_size", choices=["small", "medium", "flagship"],
+                   default="medium")
+    p.add_argument("--out", required=True)
+    p.add_argument("--res", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import flax.serialization
+
+    from mvtracker_tpu.datasets.datapoint import collate
+    from mvtracker_tpu.datasets.loader import SyntheticSceneDataset
+    from mvtracker_tpu.models.mvtracker import MVTracker
+    from mvtracker_tpu.training import step as step_lib
+    from mvtracker_tpu.training.train import TrainConfig, Trainer
+
+    base = dict(sliding_window_len=8, corr_n_levels=3)
+    sizes = {
+        "small": dict(fmaps_dim=64, num_heads=6, hidden_size=192, space_depth=3,
+                      time_depth=3, num_virtual_tracks=16, corr_neighbors=8),
+        "medium": dict(fmaps_dim=96, num_heads=8, hidden_size=256, space_depth=4,
+                       time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
+                       compute_dtype="bfloat16"),
+        "flagship": dict(fmaps_dim=128, num_heads=8, hidden_size=384, space_depth=6,
+                         time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
+                         corr_n_levels=4, compute_dtype="bfloat16"),
+    }
+    model = MVTracker(**{**base, **sizes[args.model_size]})
+    ds = SyntheticSceneDataset(n_scenes=1, cache=True, seed=0, n_views=2,
+                               n_frames=8, height=args.res, width=args.res,
+                               n_tracks=8)
+    batch = collate([ds[0]])
+    example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
+    trainer = Trainer(model, TrainConfig(exp_dir=args.exp_dir, tensorboard=False,
+                                         watchdog_timeout_s=0))
+    state = step_lib.init_state(model, trainer.optimizer, example,
+                                jax.random.PRNGKey(0), iters=1)
+    state, step = trainer.restore_latest(state)
+    assert step > 0, f"no checkpoint in {args.exp_dir}"
+    params = jax.tree.map(lambda x: __import__("numpy").asarray(x), state.params)
+    with open(args.out, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(params))
+    print(f"exported step-{step} params -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,4 +21,12 @@ python scripts/eval_checkpoint.py --exp_dir "$EXP" --model_size flagship \
     --n_tracks 32 --iters 3 --grid 5 --knn_reuse \
     --out_json RESULTS_r3_flagship_knnreuse.json
 
+# Round-2 medium checkpoint (known to beat CopyCat on positions at res 64)
+# under the SAME round-3 protocol: res-128 domain, exact labels, calibrated
+# threshold — the cross-round comparison point.
+python scripts/eval_checkpoint.py --exp_dir experiments/r2_medium_tex \
+    --model_size medium --views 4 --res 128 --frames 12 \
+    --n_tracks 32 --iters 3 --grid 0 5 \
+    --out_json RESULTS_r3_r2medium_rescored.json
+
 python bench.py

@@ -54,6 +54,9 @@ def main():
                         help="hard-kill the process after a watchdog hang dump "
                         "(for scripts/run_supervised_train.sh restart loops)")
     parser.add_argument("--watchdog_timeout", type=float, default=600.0)
+    parser.add_argument("--warm_start", default="",
+                        help="msgpack/pth weights to warm-start from "
+                        "(non-strict merge; TrainConfig.warm_start_ckpt)")
     parser.add_argument("--no_adaptive", action="store_true",
                         help="fixed train_iters every step (single compiled "
                         "executable; the adaptive mix alternates programs, "
@@ -159,6 +162,7 @@ def main():
         watchdog_exit=args.watchdog_exit,
         visibility_loss_weight=args.vis_loss_weight,
         sync_every=args.sync_every,
+        warm_start_ckpt=args.warm_start,
         eval_freq=args.eval_every if args.eval_every else 10**9,
         telemetry_freq=200,
         exp_dir=args.exp_dir,
