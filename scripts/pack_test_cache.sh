@@ -24,7 +24,7 @@ SEED_BUDGET_MB=${SEED_BUDGET_MB:-24}
 FRESH=$(mktemp -d /tmp/mvt_test_cache.XXXX)
 trap 'rm -rf "$FRESH"' EXIT
 
-JAX_PLATFORMS=cpu MVT_TEST_CACHE_DIR="$FRESH" python -m pytest tests/ -q -p no:cacheprovider
+JAX_PLATFORMS=cpu MVT_TEST_CACHE_DIR="$FRESH" python -m pytest tests/ -q --runslow -p no:cacheprovider
 
 # Keep the biggest entries until the budget is spent.
 PRUNED=$(mktemp -d /tmp/mvt_test_cache_pruned.XXXX)
