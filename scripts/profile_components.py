@@ -129,7 +129,7 @@ def main():
     def knn_step(coords_c):
         dsum = 0.0
         for lvl in range(lvls):
-            xyz_l, _ = context_w[lvl]
+            xyz_l = context_w[lvl][0]
             d, _ = knn_ops.knn(xyz_l, coords_c, model.corr_neighbors, backend="auto")
             dsum = dsum + d[..., :1] * 0.0
         return coords_c + dsum
@@ -142,7 +142,7 @@ def main():
     def knn_all_levels(context_w, coords):
         outs = []
         for lvl in range(lvls):
-            xyz_l, _ = context_w[lvl]
+            xyz_l = context_w[lvl][0]
             _, idx = knn_ops.knn(xyz_l, coords, model.corr_neighbors, backend="auto")
             outs.append(idx)
         return outs
@@ -152,7 +152,7 @@ def main():
     def corr_step(ffeats_c):
         outs = []
         for lvl in range(lvls):
-            xyz_l, fvec_l = context_w[lvl]
+            xyz_l, fvec_l = context_w[lvl][0], context_w[lvl][1]
             fc = corr_ops.corr_sample(
                 xyz_l, fvec_l, ffeats_c, coords, idxs[lvl],
                 groups=model.corr_n_groups,
