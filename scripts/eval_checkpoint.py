@@ -84,6 +84,13 @@ def main():
     parser.add_argument("--texture_detail", type=float, default=1.0)
     parser.add_argument("--iters", type=int, nargs="+", default=[3])
     parser.add_argument("--grid", type=int, nargs="+", default=[0, 5])
+    parser.add_argument("--interp", type=int, nargs="+", default=[0],
+                        help="eval-time input resize sweep (square px; 0 = "
+                        "native). The reference always evaluates through a "
+                        "384x512 resize regardless of native resolution "
+                        "(evaluation_predictor_3dpt.py:71-87); upsampling a "
+                        "res-128 domain shrinks the model's px quantum in "
+                        "world units, a free lever on sub-2px thresholds.")
     parser.add_argument("--vis_geom", action="store_true")
     parser.add_argument("--knn_reuse", action="store_true",
                         help="evaluate with corr_knn_reuse=True (the serving "
@@ -94,6 +101,11 @@ def main():
                         default=[0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
     parser.add_argument("--step", type=int, default=0,
                         help="checkpoint step to restore (0 = latest)")
+    parser.add_argument("--params_msgpack", default="",
+                        help="evaluate a released params artifact (e.g. "
+                        "release/mvtracker_medium_synth.msgpack) instead of "
+                        "an orbax checkpoint tree; --exp_dir then only "
+                        "scopes scratch state")
     parser.add_argument("--out_json", default=None)
     args = parser.parse_args()
 
@@ -154,7 +166,9 @@ def main():
     example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
     state = step_lib.init_state(model, trainer.optimizer, example,
                                 jax.random.PRNGKey(0), iters=1)
-    if args.step:
+    if args.params_msgpack:
+        state, step = trainer.warm_start(state, args.params_msgpack), -1
+    elif args.step:
         import orbax.checkpoint as ocp
 
         restored = trainer._ckpt_manager().restore(
@@ -163,7 +177,7 @@ def main():
         state, step = step_lib.TrainState(**restored), args.step
     else:
         state, step = trainer.restore_latest(state)
-    assert step > 0, f"no checkpoint found in {args.exp_dir}"
+    assert step != 0, f"no checkpoint found in {args.exp_dir}"
 
     evaluator = Evaluator("kubric-multiview")
     copycat, _ = evaluator.evaluate_sequence(CopyCatPredictor(), scenes)
@@ -175,8 +189,10 @@ def main():
                         if isinstance(v, float)}}
     best = None  # (aj, iters, grid, threshold)
     for it in args.iters:
-        for g in args.grid:
-            p = EvaluationPredictor(model, state.params, interp_shape=None,
+      for g in args.grid:
+        for interp in args.interp:
+            shape = (interp, interp) if interp else None
+            p = EvaluationPredictor(model, state.params, interp_shape=shape,
                                     grid_size=g, n_iters=it)
             calib_out = run_predictor(p, calib)
             calib_rows = sweep_thresholds(evaluator, calib_out, calib,
@@ -186,7 +202,7 @@ def main():
             heldout_out = run_predictor(p, scenes)
             heldout_rows = sweep_thresholds(evaluator, heldout_out, scenes,
                                             [0.5, th_best])
-            key = f"iters{it}_grid{g}"
+            key = f"iters{it}_grid{g}" + (f"_interp{interp}" if interp else "")
             rows[key] = {
                 "calib_threshold_sweep": calib_rows,
                 "calibrated_threshold": th_best,
@@ -203,9 +219,10 @@ def main():
                 rows["copycat"]["occlusion_accuracy"],
             )
             if best is None or r["average_jaccard"] > best[0]:
-                best = (r["average_jaccard"], it, g, th_best)
+                best = (r["average_jaccard"], it, g, th_best, interp)
     rows["best"] = {"average_jaccard": best[0], "iters": best[1],
-                    "grid": best[2], "threshold": best[3]}
+                    "grid": best[2], "threshold": best[3],
+                    "interp": best[4]}
     print(json.dumps(rows, indent=2))
     if args.out_json:
         with open(args.out_json, "w") as f:

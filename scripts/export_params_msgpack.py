@@ -19,6 +19,14 @@ def main():
                    default="medium")
     p.add_argument("--out", required=True)
     p.add_argument("--res", type=int, default=64)
+    p.add_argument("--vis_geom", action="store_true",
+                   help="checkpoint was trained with vis_geom_features")
+    p.add_argument("--vis_head_hidden", type=int, default=0,
+                   help="checkpoint's vis-head hidden width (0 = linear head)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
+                   default="float32",
+                   help="cast exported params (bfloat16 halves artifact size; "
+                        "warm_start casts back to the train dtype on load)")
     args = p.parse_args()
 
     import jax
@@ -46,7 +54,9 @@ def main():
                          time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
                          corr_n_levels=4, compute_dtype="bfloat16"),
     }
-    model = MVTracker(**{**base, **sizes[args.model_size]})
+    model = MVTracker(**{**base, **sizes[args.model_size],
+                         "vis_geom_features": args.vis_geom,
+                         "vis_head_hidden": args.vis_head_hidden})
     ds = SyntheticSceneDataset(n_scenes=1, cache=True, seed=0, n_views=2,
                                n_frames=8, height=args.res, width=args.res,
                                n_tracks=8)
@@ -58,10 +68,21 @@ def main():
                                 jax.random.PRNGKey(0), iters=1)
     state, step = trainer.restore_latest(state)
     assert step > 0, f"no checkpoint in {args.exp_dir}"
-    params = jax.tree.map(lambda x: __import__("numpy").asarray(x), state.params)
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16,
+             "float16": np.float16}[args.dtype]
+
+    def _cast(x):
+        x = np.asarray(x)
+        return x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x
+
+    params = jax.tree.map(_cast, state.params)
     with open(args.out, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(params))
-    print(f"exported step-{step} params -> {args.out}")
+    print(f"exported step-{step} params ({args.dtype}) -> {args.out}")
 
 
 if __name__ == "__main__":

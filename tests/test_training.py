@@ -299,6 +299,41 @@ def test_warm_start_strict_and_nonstrict(tmp_path):
     )
 
 
+def test_warm_start_from_bf16_msgpack(tmp_path):
+    """Release artifacts are exported as bf16 msgpack to halve size
+    (scripts/export_params_msgpack.py --dtype bfloat16); warm_start must
+    load them back into the f32 train state, losing only bf16 rounding."""
+    import flax.serialization
+    import flax.traverse_util as tru
+    import jax
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.training import step as step_lib
+
+    model = tiny_model()
+    batch = next(iter(tiny_loader()))
+    example = {k: v[0] for k, v in batch.items() if hasattr(v, "ndim") and v.ndim > 0}
+    trainer = Trainer(model, TrainConfig(exp_dir=str(tmp_path / "a")))
+    s1 = step_lib.init_state(model, trainer.optimizer, example, jax.random.PRNGKey(0), iters=1)
+    s2 = step_lib.init_state(model, trainer.optimizer, example, jax.random.PRNGKey(7), iters=1)
+
+    bf16 = jax.tree.map(
+        lambda x: np.asarray(x).astype(jnp.bfloat16)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+        s1.params,
+    )
+    path = tmp_path / "w_bf16.msgpack"
+    path.write_bytes(flax.serialization.msgpack_serialize(bf16))
+
+    s2w = trainer.warm_start(s2, str(path))
+    ref = tru.flatten_dict(s1.params, sep="/")
+    for k, v in tru.flatten_dict(s2w.params, sep="/").items():
+        v = np.asarray(v)
+        assert v.dtype == np.asarray(ref[k]).dtype, k  # restored to train dtype
+        np.testing.assert_allclose(v, np.asarray(ref[k], np.float32),
+                                   rtol=8e-3, atol=8e-3, err_msg=k)
+
+
 def test_warm_start_migrates_prescan_layout(tmp_path):
     """msgpack checkpoints from before the updateformer scan refactor
     (unrolled time_i/sv2p_i/svirt_i/sp2v_i names) are stacked into the
