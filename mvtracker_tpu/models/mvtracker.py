@@ -175,8 +175,33 @@ class MVTracker(nn.Module):
     corr_n_groups: int = 1
     corr_n_levels: int = 4
     corr_neighbors: int = 16
+    # Optional per-level neighbor counts, fine -> coarse (None = uniform
+    # `corr_neighbors`). Round-3 found that level-0 correlation coverage
+    # shrinks with resolution (cell ~0.06 world units/px at res 128): the
+    # k nearest neighbors of a dense fine cloud span a smaller world
+    # radius than one frame of typical motion (0.2-0.4 units), so the
+    # finest level carries no gradient toward the target until the coarse
+    # levels have pulled the estimate close. Widening k ONLY at the fine
+    # level(s) restores coverage where it is lost without paying k x cost
+    # at every level (kNN extraction cost is linear in k). Changes the
+    # update-transformer input width; `Trainer.warm_start` migrates
+    # checkpoints trained at uniform k by zero-initializing the new
+    # neighbor rows of the input projection (extra neighbors start
+    # ignored and are learned into use).
+    corr_neighbors_per_level: Optional[tuple] = None
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
+    # Constant-velocity extrapolation of the chained window init: the
+    # frames a new window adds beyond the previous window's overlap are
+    # initialized at tail + v * chain_velocity * steps (v = the previous
+    # window's last inter-frame displacement) instead of the reference's
+    # static copy of the last position (`mvtracker.py:647-655`). 0.0 =
+    # reference behavior. Round-3 diagnosis: per-frame motion of 0.2-0.4
+    # world units starts outside the fine correlation level's coverage;
+    # a first-order init keeps moving tracks inside the basin where the
+    # fine level still has gradient. Inference-time only state-chaining —
+    # no parameters change, so any checkpoint can toggle it.
+    chain_velocity: float = 0.0
     # Fast mode: compute the correlation kNN ONCE per window (at the
     # window's initial coords — chained from the previous window's tail)
     # and reuse the neighbor set across all refinement iterations; offsets
@@ -258,18 +283,28 @@ class MVTracker(nn.Module):
     # mutable=["intermediates"])` and feed the result to `consume_stats`.
     collect_stats: bool = False
 
+    def corr_k(self, lvl: int) -> int:
+        """Neighbor count at pyramid level `lvl` (fine = 0)."""
+        if self.corr_neighbors_per_level is not None:
+            return int(self.corr_neighbors_per_level[lvl])
+        return self.corr_neighbors
+
+    @property
+    def corr_feat_width(self) -> int:
+        """Per-neighbor correlation feature width."""
+        return (
+            self.corr_n_groups
+            + 3 * int(self.corr_add_neighbor_offset)
+            + 3 * int(self.corr_add_neighbor_xyz)
+        )
+
     @property
     def updateformer_input_dim(self) -> int:
         """Input feature dim; mirrors reference `mvtracker.py:130-149`."""
         return (
             (self.flow_embed_dim + 1) * 3
-            + self.corr_neighbors
-            * self.corr_n_levels
-            * (
-                self.corr_n_groups
-                + 3 * int(self.corr_add_neighbor_offset)
-                + 3 * int(self.corr_add_neighbor_xyz)
-            )
+            + sum(self.corr_k(l) for l in range(self.corr_n_levels))
+            * self.corr_feat_width
             + self.fmaps_dim
             + 1
             + 1
@@ -559,14 +594,14 @@ class MVTracker(nn.Module):
             xyz_l, fvec_l = context_w[lvl][0], context_w[lvl][1]
             dists, idx = knn_dists[lvl], knn_idx[lvl]
             p_l = xyz_l.shape[1]
-            if self.corr_neighbors > p_l:
+            if self.corr_k(lvl) > p_l:
                 # Coarse pyramid levels of small inputs can hold fewer
                 # points than corr_neighbors (e.g. 2 views at 64x64 ->
                 # 8-point level-3 cloud): neighbor ranks >= p_l are padding
                 # sentinels whose 1e9 coordinates would enter the offset
                 # features and blow up the transformer. Wrap the ranks so
                 # real neighbors repeat instead (static shapes preserved).
-                wrap = np.arange(self.corr_neighbors) % p_l
+                wrap = np.arange(self.corr_k(lvl)) % p_l
                 dists = dists[..., wrap]
                 idx = idx[..., wrap]
             if self.collect_stats:
@@ -612,7 +647,10 @@ class MVTracker(nn.Module):
         # v5e regardless of work), so levels with <= 1024 points are padded
         # to a common size and batched into ONE call; padding points sit at
         # 1e9 and can never enter a top-k (every level has >= k real
-        # points). Results are bitwise identical to per-level calls.
+        # points). Results are bitwise identical to per-level calls. With
+        # per-level neighbor counts the batched call searches the max k of
+        # the small levels and each level keeps its ascending-sorted
+        # prefix — still identical to a per-level call at that level's k.
         small = [l for l in levels if context_w[l][0].shape[1] <= 1024]
         knn_idx: dict[int, jax.Array] = {}
         knn_dists: dict[int, jax.Array] = {}
@@ -620,11 +658,12 @@ class MVTracker(nn.Module):
             if lvl in small and len(small) > 1:
                 continue
             d, i = knn_ops.knn(
-                knn_ref(lvl), coords, self.corr_neighbors, backend=self.knn_backend
+                knn_ref(lvl), coords, self.corr_k(lvl), backend=self.knn_backend
             )
             knn_dists[lvl], knn_idx[lvl] = d, i
         if len(small) > 1:
             pmax = max(context_w[l][0].shape[1] for l in small)
+            kmax = max(self.corr_k(l) for l in small)
             refs = jnp.concatenate(
                 [
                     jnp.pad(
@@ -638,11 +677,11 @@ class MVTracker(nn.Module):
             )  # [len(small)*S, pmax, 3]
             qs = jnp.concatenate([coords] * len(small), axis=0)
             d_all, i_all = knn_ops.knn(
-                refs, qs, self.corr_neighbors, backend=self.knn_backend
+                refs, qs, kmax, backend=self.knn_backend
             )
             for j, l in enumerate(small):
-                knn_dists[l] = d_all[j * s : (j + 1) * s]
-                knn_idx[l] = i_all[j * s : (j + 1) * s]
+                knn_dists[l] = d_all[j * s : (j + 1) * s, :, : self.corr_k(l)]
+                knn_idx[l] = i_all[j * s : (j + 1) * s, :, : self.corr_k(l)]
         if self.corr_filter_invalid_depth:
             # Frames with fewer than k valid points let sentinels through;
             # fall back to that query's nearest (rank-0) valid neighbor so
@@ -742,9 +781,16 @@ class MVTracker(nn.Module):
             base_coords = jnp.broadcast_to(query_xyz_c[None], (s, n, 3))
             base_vis = jnp.full((s, n), 10.0, jnp.float32)
             prev_tail = coords_last[hop:]
-            chained_coords = jnp.concatenate(
-                [prev_tail, jnp.broadcast_to(prev_tail[-1:], (s - hop, n, 3))], axis=0
-            )
+            if self.chain_velocity > 0.0 and hop >= 2:
+                # First-order init of the frames beyond the overlap:
+                # extrapolate the previous window's last inter-frame
+                # displacement instead of freezing at the last position.
+                vel = (prev_tail[-1] - prev_tail[-2]) * self.chain_velocity
+                steps = jnp.arange(1, s - hop + 1, dtype=vel.dtype)
+                new_frames = prev_tail[-1][None] + steps[:, None, None] * vel[None]
+            else:
+                new_frames = jnp.broadcast_to(prev_tail[-1:], (s - hop, n, 3))
+            chained_coords = jnp.concatenate([prev_tail, new_frames], axis=0)
             prev_vis_tail = vis_last[hop:]
             chained_vis = jnp.concatenate(
                 [prev_vis_tail, jnp.broadcast_to(prev_vis_tail[-1:], (s - hop, n))], axis=0

@@ -224,7 +224,64 @@ class Trainer:
         )
         return loaded
 
-    def warm_start(self, state: step_lib.TrainState, path: str) -> step_lib.TrainState:
+    def _migrate_corr_width(self, loaded: dict, current: dict) -> dict:
+        """Expand a uniform-k checkpoint's update-transformer input
+        projection to this model's per-level neighbor counts
+        (`corr_neighbors_per_level`).
+
+        The input feature layout is [flow_embed | per-level corr chunks
+        (neighbor-major: K_l ranks x F features) | track feats | mask+vis]
+        (`MVTracker.forward_iteration`). Rows for neighbor ranks the old
+        checkpoint had are copied into their new positions; rows for the
+        added ranks are zero-initialized, so the warm-started model
+        computes exactly what the old one did until training learns to
+        use the extra neighbors. Only fires when the row-count difference
+        is exactly attributable to corr width; anything else falls through
+        to the non-strict merge (which will then flag the mismatch).
+        """
+        model = self.model
+        if getattr(model, "corr_neighbors_per_level", None) is None:
+            return loaded
+        try:
+            old_kern = np.asarray(
+                loaded["params"]["updateformer"]["input_transform"]["kernel"]
+            )
+            cur_kern = current["params"]["updateformer"]["input_transform"]["kernel"]
+        except (KeyError, TypeError):
+            return loaded
+        d_old, d_new = old_kern.shape[0], cur_kern.shape[0]
+        if d_old == d_new:
+            return loaded
+        fe = (model.flow_embed_dim + 1) * 3
+        tail = model.fmaps_dim + 2
+        f = model.corr_feat_width
+        levels = model.corr_n_levels
+        corr_rows_old = d_old - fe - tail
+        if corr_rows_old <= 0 or corr_rows_old % (f * levels) != 0:
+            return loaded
+        k_old = corr_rows_old // (f * levels)
+        new_kern = np.zeros((d_new,) + old_kern.shape[1:], old_kern.dtype)
+        new_kern[:fe] = old_kern[:fe]
+        src = fe
+        dst = fe
+        for lvl in range(levels):
+            k_new = model.corr_k(lvl)
+            ncopy = min(k_old, k_new) * f
+            new_kern[dst : dst + ncopy] = old_kern[src : src + ncopy]
+            src += k_old * f
+            dst += k_new * f
+        new_kern[dst:] = old_kern[src:]
+        loaded["params"]["updateformer"]["input_transform"]["kernel"] = new_kern
+        logging.info(
+            "warm-start: migrated input_transform %d -> %d rows (uniform k=%d "
+            "-> per-level %s, new neighbor rows zero-init)",
+            d_old, d_new, k_old, tuple(model.corr_k(l) for l in range(levels)),
+        )
+        return loaded
+
+    def warm_start(
+        self, state: step_lib.TrainState, path: str, strict: bool = False
+    ) -> step_lib.TrainState:
         """Initialize model weights from a file before training.
 
         Mirrors the reference's warm-start path (`cli/train.py:603-620`):
@@ -232,7 +289,10 @@ class Trainer:
         torch .pth reference checkpoint (converted on the fly). Strict when
         every leaf matches; otherwise falls back to non-strict merging of
         the intersecting, shape-matching leaves with a warning per skipped
-        leaf (the reference's strict -> non-strict fallback).
+        leaf (the reference's strict -> non-strict fallback). With
+        `strict=True` a partial load RAISES instead — evaluation paths use
+        this so mismatched model flags can never silently report metrics
+        from partially-initialized params.
         """
         import flax.serialization
         import flax.traverse_util as tru
@@ -246,19 +306,30 @@ class Trainer:
                 # Untemplated decode: msgpack restores a plain nested dict.
                 loaded = flax.serialization.msgpack_restore(f.read())
         loaded = self._migrate_updateformer_layout(loaded, state.params)
+        loaded = self._migrate_corr_width(loaded, state.params)
 
         cur = tru.flatten_dict(state.params, sep="/")
         new = tru.flatten_dict(loaded, sep="/")
         merged, used, skipped = dict(cur), 0, 0
+        skipped_keys = []
         for k, v in new.items():
             if k in cur and tuple(cur[k].shape) == tuple(np.asarray(v).shape):
                 merged[k] = jnp.asarray(v, cur[k].dtype)
                 used += 1
             else:
                 skipped += 1
+                skipped_keys.append(k)
                 logging.warning("warm-start: skipping %s %s", k, np.asarray(v).shape)
         missing = len(cur) - used
         if skipped or missing:
+            if strict:
+                missing_keys = sorted(set(cur) - {k for k in new if k in cur})
+                raise ValueError(
+                    f"strict warm-start from {path}: {skipped} leaves skipped "
+                    f"{skipped_keys[:8]}, {missing} left at init "
+                    f"{missing_keys[:8]} — model config does not match the "
+                    "checkpoint"
+                )
             logging.warning(
                 "warm-start non-strict: %d loaded, %d skipped, %d left at init",
                 used, skipped, missing,

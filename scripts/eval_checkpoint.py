@@ -97,6 +97,12 @@ def main():
                         "mode) to re-verify its metric-neutrality on this "
                         "checkpoint")
     parser.add_argument("--vis_head_hidden", type=int, default=0)
+    parser.add_argument("--corr_k0", type=int, default=0,
+                        help="finest-level neighbor count the checkpoint was "
+                        "trained with (0 = uniform preset k)")
+    parser.add_argument("--chain_velocity", type=float, default=0.0,
+                        help="constant-velocity chained-window init factor "
+                        "(inference-time; works with any checkpoint)")
     parser.add_argument("--thresholds", type=float, nargs="+",
                         default=[0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
     parser.add_argument("--step", type=int, default=0,
@@ -121,25 +127,15 @@ def main():
     from mvtracker_tpu.evaluation.evaluator import Evaluator
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
     from mvtracker_tpu.models.copycat import CopyCatPredictor
-    from mvtracker_tpu.models.mvtracker import MVTracker
+    from mvtracker_tpu.presets import build_model
     from mvtracker_tpu.training import step as step_lib
     from mvtracker_tpu.training.train import TrainConfig, Trainer
 
-    base = dict(sliding_window_len=8, corr_n_levels=3)
-    sizes = {
-        "small": dict(fmaps_dim=64, num_heads=6, hidden_size=192, space_depth=3,
-                      time_depth=3, num_virtual_tracks=16, corr_neighbors=8),
-        "medium": dict(fmaps_dim=96, num_heads=8, hidden_size=256, space_depth=4,
-                       time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
-                       compute_dtype="bfloat16"),
-        "flagship": dict(fmaps_dim=128, num_heads=8, hidden_size=384, space_depth=6,
-                         time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
-                         corr_n_levels=4, compute_dtype="bfloat16"),
-    }
-    model = MVTracker(**{**base, **sizes[args.model_size],
-                         "vis_geom_features": args.vis_geom,
-                         "vis_head_hidden": args.vis_head_hidden,
-                         "corr_knn_reuse": args.knn_reuse})
+    model = build_model(args.model_size, vis_geom=args.vis_geom,
+                        vis_head_hidden=args.vis_head_hidden,
+                        corr_k0=args.corr_k0,
+                        chain_velocity=args.chain_velocity,
+                        knn_reuse=args.knn_reuse)
 
     scene_kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res,
@@ -167,7 +163,10 @@ def main():
     state = step_lib.init_state(model, trainer.optimizer, example,
                                 jax.random.PRNGKey(0), iters=1)
     if args.params_msgpack:
-        state, step = trainer.warm_start(state, args.params_msgpack), -1
+        # strict: a partial load (wrong --model_size / --vis_geom /
+        # --vis_head_hidden for this artifact) must raise, not silently
+        # evaluate half-random params (round-3 advisor finding).
+        state, step = trainer.warm_start(state, args.params_msgpack, strict=True), -1
     elif args.step:
         import orbax.checkpoint as ocp
 

@@ -23,6 +23,9 @@ def main():
                    help="checkpoint was trained with vis_geom_features")
     p.add_argument("--vis_head_hidden", type=int, default=0,
                    help="checkpoint's vis-head hidden width (0 = linear head)")
+    p.add_argument("--corr_k0", type=int, default=0,
+                   help="finest-level neighbor count the checkpoint was "
+                   "trained with (0 = uniform preset k)")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
                    default="float32",
                    help="cast exported params (bfloat16 halves artifact size; "
@@ -39,24 +42,13 @@ def main():
 
     from mvtracker_tpu.datasets.datapoint import collate
     from mvtracker_tpu.datasets.loader import SyntheticSceneDataset
-    from mvtracker_tpu.models.mvtracker import MVTracker
+    from mvtracker_tpu.presets import build_model
     from mvtracker_tpu.training import step as step_lib
     from mvtracker_tpu.training.train import TrainConfig, Trainer
 
-    base = dict(sliding_window_len=8, corr_n_levels=3)
-    sizes = {
-        "small": dict(fmaps_dim=64, num_heads=6, hidden_size=192, space_depth=3,
-                      time_depth=3, num_virtual_tracks=16, corr_neighbors=8),
-        "medium": dict(fmaps_dim=96, num_heads=8, hidden_size=256, space_depth=4,
-                       time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
-                       compute_dtype="bfloat16"),
-        "flagship": dict(fmaps_dim=128, num_heads=8, hidden_size=384, space_depth=6,
-                         time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
-                         corr_n_levels=4, compute_dtype="bfloat16"),
-    }
-    model = MVTracker(**{**base, **sizes[args.model_size],
-                         "vis_geom_features": args.vis_geom,
-                         "vis_head_hidden": args.vis_head_hidden})
+    model = build_model(args.model_size, vis_geom=args.vis_geom,
+                        vis_head_hidden=args.vis_head_hidden,
+                        corr_k0=args.corr_k0)
     ds = SyntheticSceneDataset(n_scenes=1, cache=True, seed=0, n_views=2,
                                n_frames=8, height=args.res, width=args.res,
                                n_tracks=8)

@@ -48,6 +48,13 @@ def main():
     parser.add_argument("--vis_head_hidden", type=int, default=0,
                         help="hidden width of the visibility head MLP "
                         "(0 = reference single Linear)")
+    parser.add_argument("--corr_k0", type=int, default=0,
+                        help="neighbor count at the FINEST correlation level "
+                        "(0 = uniform preset k; widened fine-level coverage "
+                        "for high-res motion, warm-start-migrated)")
+    parser.add_argument("--chain_velocity", type=float, default=0.0,
+                        help="constant-velocity extrapolation factor for the "
+                        "chained window init (0 = reference static copy)")
     parser.add_argument("--n_tracks", type=int, default=32)
     parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--watchdog_exit", action="store_true",
@@ -99,33 +106,14 @@ def main():
     )
     from mvtracker_tpu.evaluation.evaluator import Evaluator
     from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
-    from mvtracker_tpu.models.mvtracker import MVTracker
+    from mvtracker_tpu.presets import build_model
     from mvtracker_tpu.training.train import TrainConfig, Trainer
     from mvtracker_tpu.models.copycat import CopyCatPredictor
 
-    base = dict(sliding_window_len=8, corr_n_levels=3)
-    sizes = {
-        "small": dict(
-            fmaps_dim=64, num_heads=6, hidden_size=192, space_depth=3,
-            time_depth=3, num_virtual_tracks=16, corr_neighbors=8,
-        ),
-        "medium": dict(
-            fmaps_dim=96, num_heads=8, hidden_size=256, space_depth=4,
-            time_depth=4, num_virtual_tracks=32, corr_neighbors=12,
-            compute_dtype="bfloat16",
-        ),
-        # Reference-width model (mvtracker.py:94-128 defaults: fmaps 128,
-        # 6+6 depth, 64 virtual tracks, k=16, 4 corr levels); window stays
-        # 8 on the 12-frame synthetic clips so chaining is exercised.
-        "flagship": dict(
-            fmaps_dim=128, num_heads=8, hidden_size=384, space_depth=6,
-            time_depth=6, num_virtual_tracks=64, corr_neighbors=16,
-            corr_n_levels=4, compute_dtype="bfloat16",
-        ),
-    }
-    model = MVTracker(**{**base, **sizes[args.model_size],
-                         "vis_geom_features": args.vis_geom,
-                         "vis_head_hidden": args.vis_head_hidden})
+    model = build_model(args.model_size, vis_geom=args.vis_geom,
+                        vis_head_hidden=args.vis_head_hidden,
+                        corr_k0=args.corr_k0,
+                        chain_velocity=args.chain_velocity)
     kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res, width=args.res,
         n_tracks=args.n_tracks, motion_speed=args.motion_speed,

@@ -385,3 +385,53 @@ def test_vis_geom_features_and_hidden_head(rng):
     acc = (best == vis_any).mean()
     trivial = max(vis_any.mean(), 1 - vis_any.mean())
     assert acc > trivial, f"geom feature acc {acc:.3f} <= trivial {trivial:.3f}"
+
+
+def test_per_level_corr_neighbors(rng):
+    """corr_neighbors_per_level widens the finest level only; forward runs
+    and the input width matches the declared dim."""
+    model = MVTracker(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4, corr_neighbors_per_level=(8, 4),
+    )
+    expected = (64 + 1) * 3 + (8 + 4) * 4 + 32 + 2
+    assert model.updateformer_input_dim == expected
+    args = make_scene(rng, v=2, t=8, h=32, w=48, n=6)
+    params = model.init(jax.random.PRNGKey(0), *args, iters=1)
+    kern = params["params"]["updateformer"]["input_transform"]["kernel"]
+    assert kern.shape[0] == expected
+    out = model.apply(params, *args, iters=1)
+    assert np.isfinite(np.asarray(out["traj"])).all()
+
+
+def test_chain_velocity_init(rng):
+    """Constant-velocity window chaining changes multi-window outputs only:
+    with a single window there is no chaining, so the flag must be inert."""
+    kw = dict(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    m0 = MVTracker(**kw)
+    m1 = MVTracker(**kw, chain_velocity=1.0)
+    # Multi-window scene (t=8 > S=6 -> 2 executed windows, hop 3).
+    args = make_scene(rng, v=2, t=8, h=32, w=48, n=6)
+    params = m0.init(jax.random.PRNGKey(0), *args, iters=1)
+    out0 = m0.apply(params, *args, iters=1)
+    out1 = m1.apply(params, *args, iters=1)
+    d = np.abs(np.asarray(out0["traj"]) - np.asarray(out1["traj"]))
+    # Frames owned by the first window are untouched; the second window's
+    # outputs shift (a random-init model has near-zero inter-frame velocity,
+    # so the magnitude is tiny — the SIGNATURE is what is asserted).
+    assert (d[:3] == 0).all()
+    assert d[6:].max() > 0
+    assert np.isfinite(np.asarray(out1["traj"])).all()
+    # Single-window scene: identical.
+    args1 = make_scene(rng, v=2, t=6, h=32, w=48, n=4)
+    p1 = m0.init(jax.random.PRNGKey(0), *args1, iters=1)
+    a = m0.apply(p1, *args1, iters=1)
+    b = m1.apply(p1, *args1, iters=1)
+    np.testing.assert_allclose(
+        np.asarray(a["traj"]), np.asarray(b["traj"]), rtol=0, atol=0
+    )
