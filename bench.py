@@ -143,6 +143,45 @@ def main():
     step_serving = min(timed_serving(10), timed_serving(10))
 
     # ------------------------------------------------------------------
+    # Batched-scene serving throughput (round-3 verdict #3): the batch-1
+    # forward sits at measured per-component floors with the MXU ~90%
+    # idle; the model is vmap-ready by design (batching done with
+    # jax.vmap outside, `models/mvtracker.py:27-29`), so serving several
+    # scenes per chip is the unclaimed throughput lever. Reported as
+    # aggregate point-frames/s/chip at B scenes (serving mode, bf16).
+    # ------------------------------------------------------------------
+    batched = {}
+    for b in (2, 4, 8):
+        bargs = tuple(
+            jax.device_put(np.stack([np.asarray(a)] * b)) for a in args
+        )
+
+        @jax.jit
+        def fwd_batched(params, *ba):
+            out = jax.vmap(
+                lambda *s: serving_model.apply(params, *s, iters=4)
+            )(*ba)
+            return out["traj"], out["vis"]
+
+        try:
+            tb, _ = fwd_batched(params, *bargs)
+            float(tb[0, 0, 0, 0])
+        except Exception:
+            # HBM-bound: report the largest batch that fits.
+            break
+
+        def timed_batched(reps: int) -> float:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                tb, _ = fwd_batched(params, *bargs)
+            float(tb[0, 0, 0, 0])
+            return (time.perf_counter() - t0) / reps
+
+        timed_batched(2)
+        sb = min(timed_batched(6), timed_batched(6))
+        batched[b] = b * n * t / sb
+
+    # ------------------------------------------------------------------
     # Train step (fwd + bwd + AdamW) at the overfit config.
     # ------------------------------------------------------------------
     from mvtracker_tpu.training import step as step_lib
@@ -226,9 +265,16 @@ def main():
         n_iters=4,
     )
     np.asarray(predictor(*args)["traj"])  # compile
-    t0 = time.perf_counter()
-    np.asarray(predictor(*args)["traj"])
-    eval_fps = t / (time.perf_counter() - t0)
+    # min-of-3: the round-3 number regressed 72.7 -> 52.1 purely from
+    # single-shot timing of what was then an eager multi-dispatch pipeline
+    # over a variable-latency tunnel; the pipeline is now one jitted
+    # dispatch (predictor._forward_fused) and the timing is robustified.
+    eval_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(predictor(*args)["traj"])
+        eval_times.append(time.perf_counter() - t0)
+    eval_fps = t / min(eval_times)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_SELF_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -256,6 +302,8 @@ def main():
         "train_step_ms_flagship": round(ftrain_s * 1e3, 2),
         "eval_fps_with_support_grids": round(eval_fps, 1),
     }
+    for b, pf in batched.items():
+        out[f"value_batched{b}"] = round(pf, 1)
     print(json.dumps(out))
 
 

@@ -202,6 +202,77 @@ class EvaluationPredictor:
             return traj, vis
         return out
 
+    def _forward_fused(self, rgbs, depths, query_points, intrs, extrs, rng_key):
+        """The common eval path as ONE jitted dispatch: resize + intrinsics
+        rescale + support-grid construction + model forward + output slice.
+
+        Round-3's bench measured `eval_fps_with_support_grids` falling
+        72.7 -> 52.1 with zero predictor-code change in between: the eager
+        per-op dispatch of the support-grid build (~40 tiny ops: bilinear
+        depth samples, unprojections, concats) is tunnel-RTT-bound, so the
+        published number tracked session latency, not the framework. Fusing
+        the whole pipeline into the jitted graph removes the per-op
+        round-trips (and lets XLA fuse the grid build into the forward's
+        prologue). The eager building blocks remain for the single-point /
+        chunked / host-side-baseline paths.
+        """
+        sig = (
+            "fused", rgbs.shape, depths.shape, query_points.shape,
+            intrs.shape, extrs.shape,
+        )
+        if sig not in self._jitted:
+            model, n_iters = self.model, self.n_iters
+            interp = self.interp_shape
+            grid_size, n_grids = self.grid_size, self.n_grids_per_view
+            n_uniform = self.num_uniformly_sampled_pts
+            n = query_points.shape[0]
+            is_flax = hasattr(model, "apply")
+
+            @jax.jit
+            def f(params, rgbs, depths, query_points, intrs, extrs, key):
+                v, t, h_raw, w_raw, _ = rgbs.shape
+                if interp is not None:
+                    h, w = interp
+                    rgbs = nearest_resize(
+                        rgbs.transpose(0, 1, 4, 2, 3), h, w
+                    ).transpose(0, 1, 3, 4, 2)
+                    depths = nearest_resize(depths, h, w)
+                    scale = jnp.asarray(
+                        [[w / w_raw, 0, 0], [0, h / h_raw, 0], [0, 0, 1]],
+                        intrs.dtype,
+                    )
+                    intrs = jnp.einsum("ij,VTjk->VTik", scale, intrs)
+                support = []
+                if grid_size > 0:
+                    support.append(
+                        build_support_grid_points(
+                            depths, intrs, extrs, grid_size, n_grids
+                        )
+                    )
+                if n_uniform > 0:
+                    support.append(
+                        build_uniform_support_points(
+                            depths, intrs, extrs, n_uniform, key
+                        )
+                    )
+                queries = (
+                    jnp.concatenate([query_points] + support, axis=0)
+                    if support
+                    else query_points
+                )
+                if is_flax:
+                    out = model.apply(
+                        params, rgbs, depths, queries, intrs, extrs, iters=n_iters
+                    )
+                else:
+                    out = model(rgbs, depths, queries, intrs, extrs)
+                return out["traj"][:, :n], out["vis"][:, :n]
+
+            self._jitted[sig] = f
+        return self._jitted[sig](
+            self.params, rgbs, depths, query_points, intrs, extrs, rng_key
+        )
+
     def __call__(
         self,
         rgbs: jax.Array,  # [V, T, H, W, 3] 0..255
@@ -213,6 +284,22 @@ class EvaluationPredictor:
     ):
         v, t, h_raw, w_raw, _ = rgbs.shape
         n = query_points.shape[0]
+
+        if (
+            not self.single_point
+            and not self.consume_model_stats
+            and getattr(self.model, "jit_compatible", True)
+            and not (self.chunk_frames is not None and t > self.chunk_frames)
+        ):
+            traj, vis = self._forward_fused(
+                rgbs, depths, query_points, intrs, extrs,
+                rng_key if rng_key is not None else jax.random.PRNGKey(0),
+            )
+            return {
+                "traj": traj,
+                "vis": vis,
+                "occluded": vis < self.visibility_threshold,
+            }
 
         if self.interp_shape is not None:
             h, w = self.interp_shape

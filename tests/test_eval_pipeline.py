@@ -232,3 +232,54 @@ def test_strided_query_mode_evaluates_pre_query_frames():
     )
     assert r_first["all_any"]["pts_within_0.50"] == 100.0
     assert r_strided["all_any"]["pts_within_0.50"] < 100.0  # pre-query counted
+
+
+def test_fused_predictor_matches_eager_pipeline(tiny_dataset):
+    """The fused one-dispatch eval path (resize + support grids + forward +
+    slice inside one jit) must match composing the eager building blocks —
+    the round-3 bench regression fix must not change numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.evaluation import predictor as pred_lib
+    from mvtracker_tpu.evaluation.predictor import EvaluationPredictor
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    model = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    sc = tiny_dataset[0]
+    rgbs = jnp.asarray(sc.video)
+    depths = jnp.asarray(sc.videodepth)
+    queries = jnp.asarray(sc.query_points_3d)
+    intrs = jnp.asarray(sc.intrs)
+    extrs = jnp.asarray(sc.extrs)
+    params = model.init(jax.random.PRNGKey(0), rgbs, depths, queries, intrs, extrs)
+
+    interp = (40, 48)
+    p = EvaluationPredictor(
+        model, params, interp_shape=interp, grid_size=2, n_iters=2
+    )
+    out = p(rgbs, depths, queries, intrs, extrs)
+
+    # Eager reference composition (the pre-fusion pipeline).
+    h, w = interp
+    h_raw, w_raw = rgbs.shape[2], rgbs.shape[3]
+    rgbs_r = pred_lib.nearest_resize(
+        rgbs.transpose(0, 1, 4, 2, 3), h, w
+    ).transpose(0, 1, 3, 4, 2)
+    depths_r = pred_lib.nearest_resize(depths, h, w)
+    scale = jnp.asarray([[w / w_raw, 0, 0], [0, h / h_raw, 0], [0, 0, 1]], intrs.dtype)
+    intrs_r = jnp.einsum("ij,VTjk->VTik", scale, intrs)
+    support = pred_lib.build_support_grid_points(depths_r, intrs_r, extrs, 2, 1)
+    q_all = jnp.concatenate([queries, support], axis=0)
+    ref = model.apply(params, rgbs_r, depths_r, q_all, intrs_r, extrs, iters=2)
+    n = queries.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(out["traj"]), np.asarray(ref["traj"][:, :n]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vis"]), np.asarray(ref["vis"][:, :n]), rtol=1e-5, atol=1e-5
+    )
