@@ -248,6 +248,19 @@ class MVTracker(nn.Module):
     # Linear; >0 inserts one GELU hidden layer).
     vis_head_hidden: int = 0
     knn_backend: str = "auto"
+    # Distributed kNN over a device-sharded fused cloud (SURVEY §2.6:
+    # "shard V·H·W (fused cloud) for kNN"). When a mesh is given, pyramid
+    # levels with at least `knn_shard_min_points` points run their
+    # correlation kNN inside a shard_map over `knn_shard_axis`: the cloud
+    # is split across the axis, each device searches its shard, and the
+    # per-shard candidates merge by the schedule the round-2 crossover
+    # measurement picked (ops/knn.py: ring iff M*k > N/D, else
+    # gather-merge). Results are bitwise identical to the global search
+    # (same distances, global indices). None = replicated cloud, XLA
+    # partitioner decides (the default single-chip path).
+    knn_mesh: Optional[Any] = None
+    knn_shard_axis: str = "model"
+    knn_shard_min_points: int = 2048
     # Correlation kernel dispatch ("auto" = fused Pallas on TPU, gather+
     # einsum elsewhere; "pallas_interpret" runs the TPU kernel under the
     # Pallas interpreter so CPU-mesh tests cover the SPMD-partitioner x
@@ -625,6 +638,48 @@ class MVTracker(nn.Module):
             fcorrs.append(fc.reshape(s, n, -1))
         return jnp.concatenate(fcorrs, axis=-1)
 
+    def _knn_sharded_call(self, ref, coords, k):
+        """Level kNN through the distributed schedules inside a shard_map.
+
+        ref [S, P, 3] (P split over the mesh axis), coords [S, N, 3]
+        replicated. Schedule choice follows the measured crossover
+        (scripts/profile_sharded_knn.py, NOTES "ring wins iff M*k > N/D"):
+        the ring rotates cloud shards over neighbor links; the gather-merge
+        all-gathers each shard's k candidates. Both return (dists, GLOBAL
+        indices) replicated on every device — bitwise equal to the global
+        search, asserted by tests/test_pallas_sharded.py and the driver's
+        dryrun_multichip.
+        """
+        try:
+            from jax import shard_map  # jax >= 0.7 public API
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as PSpec
+
+        mesh = self.knn_mesh
+        axis = self.knn_shard_axis
+        d = mesh.shape[axis]
+        p = ref.shape[1]
+        pad = (-p) % d
+        if pad:
+            # Sentinel padding can never enter a top-k (every level holds
+            # >= k real points).
+            ref = jnp.pad(ref, ((0, 0), (0, pad), (0, 0)), constant_values=1e9)
+        m = coords.shape[1]
+        use_ring = m * k > (p + pad) // d
+        dist_fn = knn_ops.knn_sharded_ring if use_ring else knn_ops.knn_sharded
+        fn = shard_map(
+            lambda r, q: dist_fn(r, q, k, axis_name=axis, backend=self.knn_backend),
+            mesh=mesh,
+            in_specs=(PSpec(None, axis, None), PSpec(None, None, None)),
+            out_specs=(PSpec(None, None, None), PSpec(None, None, None)),
+            check_rep=False,
+        )
+        dists, idx = fn(ref, coords)
+        if pad:
+            idx = jnp.minimum(idx, p - 1)
+        return dists, idx
+
     def _corr_knn(self, context_w, coords):
         """kNN of track coords into every pyramid level's fused cloud.
 
@@ -642,6 +697,13 @@ class MVTracker(nn.Module):
                 return xyz_l
             return jnp.where(valid_l[..., None], xyz_l, 1e9)
 
+        # Distributed path: levels big enough to be worth sharding run the
+        # gather-merge / ring schedules over the mesh axis.
+        use_shard = (
+            self.knn_mesh is not None
+            and self.knn_mesh.shape.get(self.knn_shard_axis, 1) > 1
+        )
+
         # kNN per pyramid level. Small levels (coarse clouds) are
         # launch-overhead-bound as individual kernel calls (~0.4 ms each on
         # v5e regardless of work), so levels with <= 1024 points are padded
@@ -657,9 +719,13 @@ class MVTracker(nn.Module):
         for lvl in levels:
             if lvl in small and len(small) > 1:
                 continue
-            d, i = knn_ops.knn(
-                knn_ref(lvl), coords, self.corr_k(lvl), backend=self.knn_backend
-            )
+            ref_l = knn_ref(lvl)
+            if use_shard and ref_l.shape[1] >= self.knn_shard_min_points:
+                d, i = self._knn_sharded_call(ref_l, coords, self.corr_k(lvl))
+            else:
+                d, i = knn_ops.knn(
+                    ref_l, coords, self.corr_k(lvl), backend=self.knn_backend
+                )
             knn_dists[lvl], knn_idx[lvl] = d, i
         if len(small) > 1:
             pmax = max(context_w[l][0].shape[1] for l in small)

@@ -107,3 +107,67 @@ def test_sharded_step_with_pallas_interpret_kernels():
         )
     )
     assert param_dev < 5e-4, f"param deviation {param_dev:.2e}"
+
+
+def test_model_sharded_knn_matches_global():
+    """MVTracker with knn_mesh set routes big-level correlation kNN through
+    the distributed shard_map schedules (SURVEY §2.6 "shard V·H·W for
+    kNN"); the full forward must match the replicated-cloud model."""
+    import jax.numpy as jnp
+
+    devices = jax.devices()[:8]
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=4, devices=devices)
+    rng = np.random.default_rng(3)
+    kw = dict(
+        sliding_window_len=4, stride=4, fmaps_dim=16, num_heads=2,
+        hidden_size=32, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    # 2 views x 32x48 at stride 4 -> level-0 cloud = 2*8*12 = 192 points;
+    # threshold 64 so BOTH levels take the sharded path (level-1 = 48 pts
+    # stays local: also covers the mixed local/sharded case).
+    m_global = MVTracker(**kw)
+    m_shard = MVTracker(**kw, knn_mesh=mesh, knn_shard_min_points=64)
+    args = _make_scene(rng, 2, 6, 32, 48, 8)
+    args = tuple(jnp.asarray(a) for a in args)
+    params = m_global.init(jax.random.PRNGKey(0), *args, iters=1)
+    out_g = jax.jit(lambda p: m_global.apply(p, *args, iters=1))(params)
+    with jax.set_mesh(mesh):
+        out_s = jax.jit(lambda p: m_shard.apply(p, *args, iters=1))(params)
+    np.testing.assert_allclose(
+        np.asarray(out_s["traj"]), np.asarray(out_g["traj"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["vis"]), np.asarray(out_g["vis"]), atol=1e-5
+    )
+
+
+def test_knn_sharded_ring_schedule_in_model():
+    """Force the ring schedule (M*k > N/D regime) through the model path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    devices = jax.devices()[:8]
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=8, devices=devices)
+    rng = np.random.default_rng(4)
+    kw = dict(
+        sliding_window_len=4, stride=4, fmaps_dim=16, num_heads=2,
+        hidden_size=32, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=1, corr_neighbors=8,
+    )
+    # level-0 cloud = 2*8*12=192 pts, N/D = 24; M*k = 32*8 = 256 > 24 ->
+    # ring. (Also exercises P % D != 0 padding: 192 % 8 == 0, use 2x12x12
+    # -> 2*3*3... keep 192/8=24 exact and pad via min_points on a 7-axis?
+    # Simpler: oddly-sized query count only.)
+    m_global = MVTracker(**kw)
+    m_shard = MVTracker(**kw, knn_mesh=mesh, knn_shard_min_points=64)
+    args = _make_scene(rng, 2, 6, 32, 48, 32)
+    args = tuple(jnp.asarray(a) for a in args)
+    params = m_global.init(jax.random.PRNGKey(0), *args, iters=1)
+    out_g = jax.jit(lambda p: m_global.apply(p, *args, iters=1))(params)
+    with jax.set_mesh(mesh):
+        out_s = jax.jit(lambda p: m_shard.apply(p, *args, iters=1))(params)
+    np.testing.assert_allclose(
+        np.asarray(out_s["traj"]), np.asarray(out_g["traj"]), atol=1e-5
+    )
