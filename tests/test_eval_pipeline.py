@@ -3,6 +3,8 @@ evaluator -> metrics. Also validates the CopyCat-style harness contract
 (reference `copycat.py:5-39`: a trivial baseline must flow through the same
 evaluator)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -283,3 +285,71 @@ def test_fused_predictor_matches_eager_pipeline(tiny_dataset):
     np.testing.assert_allclose(
         np.asarray(out["vis"]), np.asarray(ref["vis"][:, :n]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_reference_benchmark_runner(tmp_path):
+    """scripts/eval_reference_benchmark.py end-to-end on a synthetic disk
+    fixture in the reference's Kubric layout: name DSL -> strict checkpoint
+    load -> Evaluator -> CSV/JSON (round-3 verdict #7 — real-benchmark
+    validation must be a download away, not an engineering task)."""
+    import argparse
+    import sys
+
+    import flax.serialization
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import eval_reference_benchmark as erb
+
+    from tests.test_kubric_loader import write_kubric_scene
+    from mvtracker_tpu.datasets import synthetic
+    from mvtracker_tpu.presets import build_model
+
+    # Benchmark root in the documented layout.
+    root = tmp_path / "benchmarks"
+    scene_dir = root / "kubric-multiview" / "scene_000"
+    sc = synthetic.render_scene(
+        seed=3, n_views=2, n_frames=6, height=32, width=32, n_tracks=8
+    )
+    write_kubric_scene(sc, str(scene_dir))
+
+    # A matching checkpoint artifact (small preset).
+    model = build_model("small")
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            sc.video.astype(np.float32), sc.videodepth.astype(np.float32),
+            sc.query_points_3d.astype(np.float32),
+            sc.intrs.astype(np.float32), sc.extrs.astype(np.float32),
+            iters=1,
+        )
+    )()
+    ckpt = tmp_path / "w.msgpack"
+    ckpt.write_bytes(
+        flax.serialization.msgpack_serialize(jax.tree.map(np.asarray, params))
+    )
+
+    args = argparse.Namespace(
+        dataset="kubric-multiview", dataset_root=str(root),
+        checkpoint=str(ckpt), model_size="small", interp=[0, 0],
+        iters=1, grid=2, visibility_threshold=0.5, vis_geom=False,
+        vis_head_hidden=0, knn_reuse=False, metrics_2d=False,
+        max_sequences=0, with_copycat=True,
+        scratch_dir=str(tmp_path / "scratch"),
+        out_json=str(tmp_path / "summary.json"),
+        out_csv=str(tmp_path / "per_seq.csv"),
+    )
+    result = erb.run(args)
+    assert "all_any" in result["summary"]
+    assert "copycat" in result
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "per_seq.csv").exists()
+    table = erb.format_table(result)
+    assert "Average Jaccard" in table
+
+    # Strict load must reject a mismatched model size.
+    import pytest
+
+    args.model_size = "medium"
+    with pytest.raises(ValueError, match="strict warm-start"):
+        erb.run(args)
