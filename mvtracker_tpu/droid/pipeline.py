@@ -277,6 +277,7 @@ def process_episodes_batch(
     failures are logged to failed_episodes.txt and do not stop the batch.
     """
     from concurrent.futures import ProcessPoolExecutor, as_completed
+    from concurrent.futures.process import BrokenProcessPool
 
     os.makedirs(out_root, exist_ok=True)
     failed_log = os.path.join(out_root, "failed_episodes.txt")
@@ -293,19 +294,61 @@ def process_episodes_batch(
                     f.write(f"{ep}\n{traceback.format_exc()}\n")
         return results
 
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
-        futs = {
-            ex.submit(_process_one_episode, ep, out_root, kwargs): ep
-            for ep in episode_dirs
-        }
-        for fut in as_completed(futs):
-            ep = futs[fut]
-            try:
-                r = fut.result()
-                results[r["status"]] += 1
-            except Exception:
+    # A worker process that DIES (OOM-killed, segfault) — as opposed to
+    # raising — breaks the whole ProcessPoolExecutor: every outstanding
+    # future raises BrokenProcessPool. The reference's GNU-parallel pool
+    # survives this per-worker (each episode is its own process,
+    # `run_pipeline...lossy.sh:1003-1033` + error-count files); here the
+    # batch recovers by retrying the unaccounted episodes in a fresh pool.
+    # An episode whose worker dies on every attempt is logged and marked
+    # failed instead of looping forever (processing is idempotent, so
+    # retrying an episode that actually completed is a cheap skip).
+    max_attempts = 2
+    attempts: dict[str, int] = {ep: 0 for ep in episode_dirs}
+    pending = list(episode_dirs)
+    while pending:
+        batch_eps = []
+        for ep in pending:
+            if attempts[ep] >= max_attempts:
                 results["failed"] += 1
-                logging.exception("episode failed: %s", ep)
                 with open(failed_log, "a") as f:
-                    f.write(f"{ep}\n{traceback.format_exc()}\n")
+                    f.write(
+                        f"{ep}\nworker process died on every attempt "
+                        f"({max_attempts})\n"
+                    )
+            else:
+                batch_eps.append(ep)
+        pending = []
+        if not batch_eps:
+            break
+        accounted: set[str] = set()
+        try:
+            with ProcessPoolExecutor(max_workers=num_workers) as ex:
+                futs = {
+                    ex.submit(_process_one_episode, ep, out_root, kwargs): ep
+                    for ep in batch_eps
+                }
+                for ep in batch_eps:
+                    attempts[ep] += 1
+                for fut in as_completed(futs):
+                    ep = futs[fut]
+                    try:
+                        r = fut.result()
+                        results[r["status"]] += 1
+                    except BrokenProcessPool:
+                        raise
+                    except Exception:
+                        results["failed"] += 1
+                        logging.exception("episode failed: %s", ep)
+                        with open(failed_log, "a") as f:
+                            f.write(f"{ep}\n{traceback.format_exc()}\n")
+                    accounted.add(ep)
+        except BrokenProcessPool:
+            pending = [ep for ep in batch_eps if ep not in accounted]
+            logging.warning(
+                "worker pool broke (a worker process died); retrying %d "
+                "unaccounted episodes in a fresh pool", len(pending),
+            )
+            with open(failed_log, "a") as f:
+                f.write(f"# pool broken by a dead worker; retrying {len(pending)}\n")
     return results

@@ -342,3 +342,33 @@ def test_render_cli_estimates_zed_intrinsics(tmp_path, caplog):
         ])
     assert out.exists()
     assert any("estimated ZED K" in r.message for r in caplog.records)
+
+
+def _suicidal_worker(ep, out_root, kwargs):
+    """Module-level (picklable) stand-in worker: the 'die' episode SIGKILLs
+    its own worker process on the first attempt, then succeeds."""
+    import signal
+
+    marker = os.path.join(out_root, "died_once")
+    if "die" in ep and not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write("x")
+        os.kill(os.getpid(), signal.SIGKILL)
+    return {"status": "ok"}
+
+
+def test_batch_survives_killed_worker(tmp_path, monkeypatch):
+    """A worker that DIES mid-episode (not raises — killed) must leave a
+    failure log and must not poison the rest of the batch (reference
+    behavior: per-episode error-count files in the shell pool,
+    `run_pipeline_cluster_huggingface_compressed_lossy.sh`)."""
+    monkeypatch.setattr(pipeline, "_process_one_episode", _suicidal_worker)
+    out = str(tmp_path / "out")
+    eps = ["ep_a", "ep_die", "ep_b", "ep_c", "ep_d"]
+    res = pipeline.process_episodes_batch(eps, out, num_workers=2)
+    # The killed episode is retried in a fresh pool and succeeds; nothing
+    # else is lost.
+    assert res["ok"] == len(eps), res
+    assert res["failed"] == 0, res
+    log = (tmp_path / "out" / "failed_episodes.txt").read_text()
+    assert "pool broken" in log
