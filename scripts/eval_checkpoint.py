@@ -84,10 +84,11 @@ def main():
     parser.add_argument("--texture_detail", type=float, default=1.0)
     parser.add_argument("--iters", type=int, nargs="+", default=[3])
     parser.add_argument("--grid", type=int, nargs="+", default=[0, 5])
-    parser.add_argument("--interp", type=int, nargs="+", default=[0],
-                        help="eval-time input resize sweep (square px; 0 = "
-                        "native). The reference always evaluates through a "
-                        "384x512 resize regardless of native resolution "
+    parser.add_argument("--interp", type=str, nargs="+", default=["0"],
+                        help="eval-time input resize sweep: square px "
+                        "('192') or HxW ('384x512'); 0 = native. The "
+                        "reference always evaluates through a 384x512 "
+                        "resize regardless of native resolution "
                         "(evaluation_predictor_3dpt.py:71-87); upsampling a "
                         "res-128 domain shrinks the model's px quantum in "
                         "world units, a free lever on sub-2px thresholds.")
@@ -187,10 +188,19 @@ def main():
             "copycat": {k: round(v, 3) for k, v in copycat["all_any"].items()
                         if isinstance(v, float)}}
     best = None  # (aj, iters, grid, threshold)
+    def parse_interp(s: str):
+        """'0' = native, '192' = square, '384x512' = (H, W)."""
+        if "x" in s:
+            h, w = s.split("x")
+            return (int(h), int(w))
+        px = int(s)
+        return (px, px) if px else None
+
     for it in args.iters:
       for g in args.grid:
-        for interp in args.interp:
-            shape = (interp, interp) if interp else None
+        for interp_s in args.interp:
+            shape = parse_interp(interp_s)
+            interp = interp_s if shape else 0
             p = EvaluationPredictor(model, state.params, interp_shape=shape,
                                     grid_size=g, n_iters=it)
             calib_out = run_predictor(p, calib)
