@@ -268,6 +268,7 @@ def process_episodes_batch(
     episode_dirs: list[str],
     out_root: str,
     num_workers: int = 8,
+    worker_fn=None,
     **kwargs,
 ) -> dict:
     """Parallel batch over episodes with per-episode failure isolation.
@@ -275,9 +276,24 @@ def process_episodes_batch(
     Replaces the reference's GNU-parallel shell worker pool
     (`run_pipeline_cluster_huggingface_compressed_lossy.sh:1003-1033`):
     failures are logged to failed_episodes.txt and do not stop the batch.
+
+    Workers run in a SPAWN multiprocessing context — the equivalent of the
+    reference pool's fork+exec-per-episode. Fork-mode pools deadlock when
+    the parent holds live threads (jax dispatch, orbax async checkpointing,
+    TB writers): the forked child inherits a locked lock and blocks
+    forever (observed hanging the test suite after the killed-worker retry
+    re-forked from a threaded process). The pipeline module tree is
+    numpy-only, so spawn startup is milliseconds. `worker_fn` (a picklable
+    module-level callable (ep, out_root, kwargs) -> {"status": ...}) exists
+    for tests; None = the real episode processor.
     """
+    import multiprocessing
     from concurrent.futures import ProcessPoolExecutor, as_completed
     from concurrent.futures.process import BrokenProcessPool
+
+    if worker_fn is None:
+        worker_fn = _process_one_episode
+    mp_ctx = multiprocessing.get_context("spawn")
 
     os.makedirs(out_root, exist_ok=True)
     failed_log = os.path.join(out_root, "failed_episodes.txt")
@@ -286,7 +302,7 @@ def process_episodes_batch(
     if num_workers <= 1:
         for ep in episode_dirs:
             try:
-                r = _process_one_episode(ep, out_root, kwargs)
+                r = worker_fn(ep, out_root, kwargs)
                 results[r["status"]] += 1
             except Exception:
                 results["failed"] += 1
@@ -323,9 +339,11 @@ def process_episodes_batch(
             break
         accounted: set[str] = set()
         try:
-            with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            with ProcessPoolExecutor(
+                max_workers=num_workers, mp_context=mp_ctx
+            ) as ex:
                 futs = {
-                    ex.submit(_process_one_episode, ep, out_root, kwargs): ep
+                    ex.submit(worker_fn, ep, out_root, kwargs): ep
                     for ep in batch_eps
                 }
                 for ep in batch_eps:

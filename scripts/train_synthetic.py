@@ -23,6 +23,12 @@ def main():
     parser.add_argument("--out_json", default=None)
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--motion_speed", type=float, default=1.0)
+    parser.add_argument("--static_fraction", type=float, default=-1.0,
+                        help="fraction of static objects per scene (-1 = "
+                        "randomized 0..0.5 per scene). 0 + high "
+                        "--motion_speed = the identity-escape curriculum: "
+                        "every track moves, so the no-motion attractor is "
+                        "maximally penalized")
     parser.add_argument("--rotate", action="store_true")
     parser.add_argument("--valid_vis", action="store_true",
                         help="supervise only any-view-visible track entries")
@@ -121,6 +127,8 @@ def main():
         valid_from_visibility=args.valid_vis, focal_factor=args.focal,
         texture_detail=args.texture_detail,
     )
+    if args.static_fraction >= 0.0:
+        kw["static_fraction"] = args.static_fraction
     # Caching only pays when scenes repeat (small datasets get memorized AND
     # cached); a large n_scenes means every step sees a fresh scene and the
     # cache would only grow unbounded (~2 MB/scene).

@@ -357,15 +357,18 @@ def _suicidal_worker(ep, out_root, kwargs):
     return {"status": "ok"}
 
 
-def test_batch_survives_killed_worker(tmp_path, monkeypatch):
+def test_batch_survives_killed_worker(tmp_path):
     """A worker that DIES mid-episode (not raises — killed) must leave a
     failure log and must not poison the rest of the batch (reference
     behavior: per-episode error-count files in the shell pool,
-    `run_pipeline_cluster_huggingface_compressed_lossy.sh`)."""
-    monkeypatch.setattr(pipeline, "_process_one_episode", _suicidal_worker)
+    `run_pipeline_cluster_huggingface_compressed_lossy.sh`). Uses the
+    spawn-context pool's worker_fn injection point (the suicidal worker
+    must be importable in the spawned child)."""
     out = str(tmp_path / "out")
     eps = ["ep_a", "ep_die", "ep_b", "ep_c", "ep_d"]
-    res = pipeline.process_episodes_batch(eps, out, num_workers=2)
+    res = pipeline.process_episodes_batch(
+        eps, out, num_workers=2, worker_fn=_suicidal_worker
+    )
     # The killed episode is retried in a fresh pool and succeeds; nothing
     # else is lost.
     assert res["ok"] == len(eps), res
