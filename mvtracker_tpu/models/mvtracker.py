@@ -650,11 +650,24 @@ class MVTracker(nn.Module):
         search, asserted by tests/test_pallas_sharded.py and the driver's
         dryrun_multichip.
         """
+        import inspect
+
         try:
             from jax import shard_map  # jax >= 0.7 public API
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as PSpec
+
+        # Replication checking must be OFF: the ring schedule's outputs are
+        # replicated by construction (every device folds every shard), which
+        # the varying-manual-axes checker cannot prove. The kwarg was
+        # renamed check_rep -> check_vma across jax versions.
+        sig = inspect.signature(shard_map).parameters
+        check_kw = (
+            {"check_vma": False}
+            if "check_vma" in sig
+            else {"check_rep": False} if "check_rep" in sig else {}
+        )
 
         mesh = self.knn_mesh
         axis = self.knn_shard_axis
@@ -673,7 +686,7 @@ class MVTracker(nn.Module):
             mesh=mesh,
             in_specs=(PSpec(None, axis, None), PSpec(None, None, None)),
             out_specs=(PSpec(None, None, None), PSpec(None, None, None)),
-            check_rep=False,
+            **check_kw,
         )
         dists, idx = fn(ref, coords)
         if pad:
