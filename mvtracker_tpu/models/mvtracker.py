@@ -191,6 +191,23 @@ class MVTracker(nn.Module):
     corr_neighbors_per_level: Optional[tuple] = None
     corr_add_neighbor_offset: bool = True
     corr_add_neighbor_xyz: bool = False
+    # Global-match initialization of non-chained window coords: instead of
+    # broadcasting the query position to every frame of a window (the
+    # reference init, `mvtracker.py:528-529` — whose correlation features
+    # go blind as soon as true motion exceeds the kNN neighborhood's
+    # world-space radius), each track's init feature is soft-matched
+    # against a coarse pyramid level's fused cloud per frame:
+    #     init[s, n] = sum_p softmax_p(<feat_init[n], fvec[s, p]> * temp
+    #                  / sqrt(C)) * xyz[s, p]
+    # — a whole-scene capture range for one small einsum (T*N*P_coarse*C
+    # MACs), the coarse-to-fine window init NOTES proposed for the
+    # capture-range failure. State-only (stop-gradient, like chaining);
+    # chained frames keep their chained init. Enable once features are
+    # meaningful (fine-tune phases / eval) — at random init the softmax is
+    # near-uniform and the init degrades to the cloud centroid.
+    global_match_init: bool = False
+    global_match_level: int = 1
+    global_match_temp: float = 10.0
     # Constant-velocity extrapolation of the chained window init: the
     # frames a new window adds beyond the previous window's overlap are
     # initialized at tail + v * chain_velocity * steps (v = the previous
@@ -856,8 +873,40 @@ class MVTracker(nn.Module):
             active = query_t_c < w_start + s  # [N]
             chained = (query_t_c < w_start + (s - hop)) & jnp.logical_not(is_first)
 
+            context_w = jax.tree.map(
+                lambda a: jnp.take(a, frame_idx, axis=0), context_c
+            )
+            geom_w = (
+                jax.tree.map(lambda a: jnp.take(a, frame_idx, axis=1), geom_c)
+                if geom_c is not None
+                else None
+            )
+
             # coords/vis init with window chaining (`mvtracker.py:647-655`).
-            base_coords = jnp.broadcast_to(query_xyz_c[None], (s, n, 3))
+            if self.global_match_init:
+                lvl_m = min(self.global_match_level, self.corr_n_levels - 1)
+                xyz_m = jax.lax.stop_gradient(context_w[lvl_m][0])  # [S, P, 3]
+                fvec_m = jax.lax.stop_gradient(context_w[lvl_m][1])  # [S, P, C]
+                f_init = jax.lax.stop_gradient(feat_init_c)  # [N, C]
+                c_dim = f_init.shape[-1]
+                corr_m = jnp.einsum(
+                    "nc,spc->snp",
+                    f_init.astype(jnp.float32),
+                    fvec_m.astype(jnp.float32),
+                ) / jnp.sqrt(float(c_dim))
+                w_m = jax.nn.softmax(corr_m * self.global_match_temp, axis=-1)
+                match_xyz = jnp.einsum("snp,spd->snd", w_m, xyz_m)
+                # The query's own frame stays anchored AT the query — the
+                # query position is ground truth there and the init is the
+                # only channel through which the model receives it.
+                at_query = frame_idx[:, None] == query_t_c[None, :]  # [S, N]
+                base_coords = jnp.where(
+                    at_query[..., None],
+                    jnp.broadcast_to(query_xyz_c[None], (s, n, 3)),
+                    match_xyz,
+                )
+            else:
+                base_coords = jnp.broadcast_to(query_xyz_c[None], (s, n, 3))
             base_vis = jnp.full((s, n), 10.0, jnp.float32)
             prev_tail = coords_last[hop:]
             if self.chain_velocity > 0.0 and hop >= 2:
@@ -885,15 +934,6 @@ class MVTracker(nn.Module):
                 is_first, query_t_c, jnp.maximum(query_t_c, w_start + (s - hop))
             )
             track_mask = (frame_idx[:, None] >= cutoff[None, :]).astype(jnp.float32)
-
-            context_w = jax.tree.map(
-                lambda a: jnp.take(a, frame_idx, axis=0), context_c
-            )
-            geom_w = (
-                jax.tree.map(lambda a: jnp.take(a, frame_idx, axis=1), geom_c)
-                if geom_c is not None
-                else None
-            )
 
             coord_preds, vis_logits = mdl.forward_iteration(
                 context_w, coords_init, vis_init, track_mask, active, feat_init_c,

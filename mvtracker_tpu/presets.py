@@ -46,6 +46,7 @@ def build_model(
     vis_head_hidden: int = 0,
     corr_k0: int = 0,
     chain_velocity: float = 0.0,
+    global_match: bool = False,
     knn_reuse: bool = False,
     **overrides: Any,
 ) -> MVTracker:
@@ -64,6 +65,7 @@ def build_model(
         vis_geom_features=vis_geom,
         vis_head_hidden=vis_head_hidden,
         chain_velocity=chain_velocity,
+        global_match_init=global_match,
         corr_knn_reuse=knn_reuse,
     )
     kw.update(overrides)

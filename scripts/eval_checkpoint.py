@@ -101,6 +101,9 @@ def main():
     parser.add_argument("--corr_k0", type=int, default=0,
                         help="finest-level neighbor count the checkpoint was "
                         "trained with (0 = uniform preset k)")
+    parser.add_argument("--global_match", action="store_true",
+                        help="global soft-match window init (whole-scene "
+                        "capture range; enable once features are trained)")
     parser.add_argument("--chain_velocity", type=float, default=0.0,
                         help="constant-velocity chained-window init factor "
                         "(inference-time; works with any checkpoint)")
@@ -135,6 +138,7 @@ def main():
     model = build_model(args.model_size, vis_geom=args.vis_geom,
                         vis_head_hidden=args.vis_head_hidden,
                         corr_k0=args.corr_k0,
+                        global_match=args.global_match,
                         chain_velocity=args.chain_velocity,
                         knn_reuse=args.knn_reuse)
 

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--exp_dir", default="/tmp/overfit_verify")
     parser.add_argument("--scenes", type=int, default=2)
+    parser.add_argument("--motion_speed", type=float, default=1.0)
+    parser.add_argument("--texture_detail", type=float, default=0.0)
+    parser.add_argument("--global_match", action="store_true")
+    parser.add_argument("--iters_eval", type=int, default=3)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -52,10 +56,12 @@ def main():
         num_virtual_tracks=16,
         corr_n_levels=3,
         corr_neighbors=8,
+        global_match_init=args.global_match,
     )
     ds = SyntheticSceneDataset(
         n_scenes=args.scenes, cache=True,
         n_views=2, n_frames=12, height=64, width=64, n_tracks=32,
+        motion_speed=args.motion_speed, texture_detail=args.texture_detail,
     )
     loader = PrefetchLoader(ds, batch_size=1, num_workers=1, shuffle=True)
 

