@@ -163,6 +163,44 @@ def analytic_visibility(
     return vis
 
 
+def _hash3(ix: np.ndarray, iy: np.ndarray, iz: np.ndarray, salt: float) -> np.ndarray:
+    """Deterministic lattice hash -> [0, 1) (classic frac(sin) GPU hash)."""
+    h = np.sin(ix * 127.1 + iy * 311.7 + iz * 74.7 + salt * 53.13) * 43758.5453
+    return h - np.floor(h)
+
+
+def _value_noise3(local: np.ndarray, salt: float, octaves: int = 3,
+                  base_freq: float = 5.0) -> np.ndarray:
+    """Multi-octave trilinear value noise of [..., 3] local coords -> [...].
+
+    Non-periodic (hashed lattice), smooth (smoothstep interpolation),
+    output roughly in [-1, 1].
+    """
+    out = np.zeros(local.shape[:-1])
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        p = local * (base_freq * (2.0 ** o))
+        ip = np.floor(p)
+        fp = p - ip
+        w = fp * fp * (3.0 - 2.0 * fp)  # smoothstep weights
+        acc = np.zeros(local.shape[:-1])
+        for dx in (0.0, 1.0):
+            wx = w[..., 0] if dx else 1.0 - w[..., 0]
+            for dy in (0.0, 1.0):
+                wy = w[..., 1] if dy else 1.0 - w[..., 1]
+                for dz in (0.0, 1.0):
+                    wz = w[..., 2] if dz else 1.0 - w[..., 2]
+                    corner = _hash3(
+                        ip[..., 0] + dx, ip[..., 1] + dy, ip[..., 2] + dz,
+                        salt + 7.77 * o,
+                    )
+                    acc += corner * (wx * wy * wz)
+        out += amp * (acc * 2.0 - 1.0)
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
 def render_scene(
     seed: int = 0,
     n_views: int = 4,
@@ -178,6 +216,7 @@ def render_scene(
     motion_speed: float = 1.0,
     valid_from_visibility: bool = False,
     texture_detail: float = 0.0,
+    texture_noise: float = 0.0,
     use_analytic_visibility: bool = True,
 ) -> Datapoint:
     """Render a synthetic scene; returns a fully populated Datapoint.
@@ -198,6 +237,19 @@ def render_scene(
     ambiguous at 64x64 — correlation features can slide along a band, so
     models trained on many scenes collapse to the no-motion optimum on
     held-out scenes; the detail bands make surface points localizable.
+
+    `texture_noise` > 0 adds hashed multi-octave VALUE NOISE in the local
+    frame — the round-4 fix for the residual ambiguity the bands leave:
+    every band component (base and texture_detail alike) is a PERIODIC
+    plane wave with wavelength 0.25-1 world units, so surface points a
+    fraction of a unit apart have near-identical appearance and the only
+    scene-GENERIC solution for a correlation tracker is no motion
+    (measured: the identical recipe that tracks 2 memorized scenes at ATE
+    0.30x CopyCat collapses to identity at 16 scenes). Hashed lattice
+    noise never repeats and is high-contrast at every octave, giving
+    points a locally unique appearance — the role real Kubric object
+    textures play for the reference. 0 keeps all earlier scenes
+    bit-identical.
     0 keeps the historical output bit-for-bit.
 
     `use_analytic_visibility` replaces the z-buffer visibility labels with
@@ -324,6 +376,18 @@ def render_scene(
                         for j in range(n_hf)
                     )
                     stripes = stripes + texture_detail * 0.25 * (hf / n_hf)
+                if texture_noise > 0:
+                    # Only the pixels this sphere actually claims need the
+                    # 24 lattice hashes; evaluate on the selected subset.
+                    noise = np.zeros_like(stripes)
+                    noise[sel] = _value_noise3(
+                        local[sel], salt=seed * 0.173 + oi * 13.7
+                    )
+                    # The interpolated noise's empirical std is ~0.3; the
+                    # 1.5 gain puts one noise std at ~half the base stripe
+                    # level — high-contrast texture, not a subtle dither
+                    # (weak texture was the original ambiguity problem).
+                    stripes = stripes + texture_noise * 1.5 * noise
                 col = colors[oi][None, None] * (light * stripes)[..., None]
                 zbuf[sel] = cam_z_s[sel]
                 rgb[sel] = col[sel]

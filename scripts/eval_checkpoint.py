@@ -82,6 +82,7 @@ def main():
     parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--n_tracks", type=int, default=32)
     parser.add_argument("--texture_detail", type=float, default=1.0)
+    parser.add_argument("--texture_noise", type=float, default=0.0)
     parser.add_argument("--iters", type=int, nargs="+", default=[3])
     parser.add_argument("--grid", type=int, nargs="+", default=[0, 5])
     parser.add_argument("--interp", type=str, nargs="+", default=["0"],
@@ -146,6 +147,7 @@ def main():
         n_views=args.views, n_frames=args.frames, height=args.res,
         width=args.res, n_tracks=args.n_tracks,
         texture_detail=args.texture_detail,
+        texture_noise=args.texture_noise,
     )
     # Calibration split (threshold selection) and held-out split (reported)
     # use different seeds; 777 is the historical held-out seed.

@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--scenes", type=int, default=2)
     parser.add_argument("--motion_speed", type=float, default=1.0)
     parser.add_argument("--texture_detail", type=float, default=0.0)
+    parser.add_argument("--texture_noise", type=float, default=0.0)
     parser.add_argument("--global_match", action="store_true")
     parser.add_argument("--iters_eval", type=int, default=3)
     args = parser.parse_args()
@@ -62,6 +63,7 @@ def main():
         n_scenes=args.scenes, cache=True,
         n_views=2, n_frames=12, height=64, width=64, n_tracks=32,
         motion_speed=args.motion_speed, texture_detail=args.texture_detail,
+        texture_noise=args.texture_noise,
     )
     loader = PrefetchLoader(ds, batch_size=1, num_workers=1, shuffle=True)
 

@@ -84,6 +84,9 @@ def main():
                         "sync_every)")
     parser.add_argument("--save_every", type=int, default=0,
                         help="checkpoint frequency override (0 = auto)")
+    parser.add_argument("--fp32", action="store_true",
+                        help="override the preset's compute dtype to float32 "
+                        "(bf16 ablation)")
     parser.add_argument("--vis_loss_weight", type=float, default=0.1,
                         help="visibility BCE weight (reference "
                         "configs/train.yaml:44 uses 0.1)")
@@ -119,17 +122,19 @@ def main():
     from mvtracker_tpu.training.train import TrainConfig, Trainer
     from mvtracker_tpu.models.copycat import CopyCatPredictor
 
+    over = {"compute_dtype": "float32"} if args.fp32 else {}
     model = build_model(args.model_size, vis_geom=args.vis_geom,
                         vis_head_hidden=args.vis_head_hidden,
                         corr_k0=args.corr_k0,
                         global_match=args.global_match,
-                        chain_velocity=args.chain_velocity)
+                        chain_velocity=args.chain_velocity, **over)
     kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res, width=args.res,
         n_tracks=args.n_tracks, motion_speed=args.motion_speed,
         rotate_objects=args.rotate,
         valid_from_visibility=args.valid_vis, focal_factor=args.focal,
         texture_detail=args.texture_detail,
+        texture_noise=args.texture_noise,
     )
     if args.static_fraction >= 0.0:
         kw["static_fraction"] = args.static_fraction
