@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--texture_detail", type=float, default=0.0,
                         help="high-frequency texture bands (0=historical "
                         "smooth bands; ~1.0 makes surface points localizable)")
+    parser.add_argument("--texture_noise", type=float, default=0.0,
+                        help="hashed value-noise texture weight (non-periodic, "
+                        "localizable in all surface directions; the r4 domain)")
     parser.add_argument("--workers", type=int, default=2)
     parser.add_argument("--eval_every", type=int, default=0,
                         help="periodic held-out eval vs CopyCat every N steps "
