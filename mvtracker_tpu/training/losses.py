@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 
-from mvtracker_tpu.utils.geometry import reduce_masked_mean
+from mvtracker_tpu.utils.geometry import (
+    bilinear_sample2d,
+    reduce_masked_mean,
+    world_to_pixel_xy_and_camera_z,
+)
 
 
 def window_gt(
@@ -165,3 +169,76 @@ def tracking_loss(
     )
     total = xyz_loss + vis_loss
     return total, {"xyz_loss": xyz_loss, "vis_loss": vis_loss}
+
+
+def feature_identity_loss(
+    fmaps: jax.Array,  # [V, T, h, w, C] encoder features (stride-downsampled)
+    depths: jax.Array,  # [V, T, H, W] full-res depth
+    intrs: jax.Array,  # [V, T, 3, 3]
+    extrs: jax.Array,  # [V, T, 3, 4]
+    traj_gt: jax.Array,  # [T, N, 3] world-space GT tracks
+    stride: int,
+    tau: float = 0.07,
+    z_tol: float = 0.05,
+) -> jax.Array:
+    """Contrastive point-identity loss on encoder features (aux, round 4).
+
+    The tracker's correlation pathway only carries gradient once encoder
+    features discriminate surface points — but the encoder only receives
+    gradient THROUGH that pathway, a chicken-and-egg that leaves
+    multi-scene from-scratch training at the no-motion optimum (NOTES
+    round 4: the same recipe that memorizes 2 scenes collapses at 16+).
+    This loss supervises the encoder directly: the fused-cloud feature
+    sampled at a GT track's position must match the track's prototype
+    (its visibility-weighted mean feature across views/frames) and differ
+    from every other track's — an N-way InfoNCE per (view, frame, track).
+    No reference counterpart (the reference inherits features that already
+    work at its 200k-step scale); weight 0 disables (reference parity).
+    """
+    v, t, h, w, c = fmaps.shape
+    n = traj_gt.shape[1]
+    pts = jnp.broadcast_to(traj_gt[None], (v, t, n, 3))
+    pix, z = world_to_pixel_xy_and_camera_z(pts, intrs, extrs)
+    z = z[..., 0]
+    hw_h, hw_w = depths.shape[-2], depths.shape[-1]
+    d_at = bilinear_sample2d(
+        depths.reshape(v * t, hw_h, hw_w, 1),
+        pix[..., 0].reshape(v * t, n),
+        pix[..., 1].reshape(v * t, n),
+    ).reshape(v, t, n)
+    inb = (
+        (pix[..., 0] >= 0) & (pix[..., 0] <= hw_w - 1)
+        & (pix[..., 1] >= 0) & (pix[..., 1] <= hw_h - 1)
+        & (z > 1e-3)
+    )
+    vis_w = (inb & (d_at > 0) & (d_at - z > -z_tol)).astype(jnp.float32)  # [V,T,N]
+
+    feats = bilinear_sample2d(
+        fmaps.reshape(v * t, h, w, c).astype(jnp.float32),
+        (pix[..., 0] / stride).reshape(v * t, n),
+        (pix[..., 1] / stride).reshape(v * t, n),
+    ).reshape(v, t, n, c)
+    # Safe normalization: sqrt(sum + eps) keeps the gradient finite at
+    # zero vectors (out-of-view samples gather zeros; jnp.linalg.norm's
+    # 0/0 grad would NaN the whole step even under a maximum() guard).
+    def _safe_normalize(x):
+        return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-10)
+
+    feats = _safe_normalize(feats)
+
+    s_sum = jnp.einsum("vtn,vtnc->nc", vis_w, feats)  # [N, C]
+    proto = _safe_normalize(s_sum)
+    # Leave-one-out prototype for each sample's OWN track (otherwise the
+    # anchor leaks into its positive and random features already score
+    # well below chance).
+    loo = _safe_normalize(s_sum[None, None] - vis_w[..., None] * feats)
+
+    logits = jnp.einsum("vtnc,mc->vtnm", feats, proto) / tau  # [V,T,N,M]
+    own = jnp.einsum("vtnc,vtnc->vtn", feats, loo) / tau
+    eye = jnp.eye(n, dtype=bool)[None, None]
+    logits = jnp.where(eye, own[..., None], logits)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, jnp.arange(n)[None, None, :, None], axis=-1
+    )[..., 0]  # [V, T, N]
+    return jnp.sum(nll * vis_w) / jnp.maximum(jnp.sum(vis_w), 1.0)

@@ -106,7 +106,8 @@ def init_state(model, optimizer, example_scene, rng_key, iters: int = 4) -> Trai
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
 
-def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float):
+def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float,
+               feat_id_weight: float = 0.0):
     """Loss for a single scene; the unit that gets vmapped over the batch.
 
     `rgbs` may arrive uint8 and `depths` float16 (compressed host->device
@@ -140,6 +141,19 @@ def scene_loss(model, params, scene, iters: int, gamma: float, vis_weight: float
     # computed in-graph (a few einsums), asserted host-side by the trainer
     # alongside the non-finite-loss check.
     parts = dict(parts)
+    if feat_id_weight > 0.0:
+        # Aux contrastive point-identity loss on encoder features (breaks
+        # the corr-pathway chicken-and-egg; losses.feature_identity_loss).
+        fmaps = model.apply(
+            params, scene["rgbs"].astype(jnp.float32),
+            method="compute_fmaps",
+        )
+        fid = losses.feature_identity_loss(
+            fmaps, scene["depths"].astype(jnp.float32), scene["intrs"],
+            scene["extrs"], scene["traj_gt"], stride=model.stride,
+        )
+        parts["feat_id"] = fid
+        total = total + feat_id_weight * fid
     parts["reproj_dev"] = geometry.reprojection_roundtrip_dev(
         out["traj"], scene["intrs"], scene["extrs"]
     )
@@ -152,6 +166,7 @@ def make_train_step(
     iters: int = 4,
     gamma: float = 0.8,
     vis_weight: float = 0.1,
+    feat_id_weight: float = 0.0,
     mesh=None,
     shard_views: bool = False,
     shard_tracks: bool = False,
@@ -184,7 +199,9 @@ def make_train_step(
                     batch["query_points"], NamedSharding(mesh, P("data", "model"))
                 )
         per_scene = jax.vmap(
-            lambda sc: scene_loss(model, params, sc, iters, gamma, vis_weight)
+            lambda sc: scene_loss(
+                model, params, sc, iters, gamma, vis_weight, feat_id_weight
+            )
         )(batch)
         totals, parts = per_scene
         parts = dict(parts)

@@ -49,6 +49,9 @@ class TrainConfig:
     grad_clip: float = 1.0
     gamma: float = 0.8  # sequence-loss discount
     visibility_loss_weight: float = 0.1
+    # Aux contrastive point-identity loss on encoder features (round 4,
+    # losses.feature_identity_loss); 0 = reference parity.
+    feat_id_loss_weight: float = 0.0
     train_iters: int = 4
     warmup_steps: int = 100
     save_ckpt_freq: int = 500
@@ -362,6 +365,7 @@ class Trainer:
                 iters=iters,
                 gamma=self.cfg.gamma,
                 vis_weight=self.cfg.visibility_loss_weight,
+                feat_id_weight=self.cfg.feat_id_loss_weight,
                 mesh=self.mesh,
                 shard_views=self.shard_views,
             )

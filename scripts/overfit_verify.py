@@ -26,6 +26,7 @@ def main():
     parser.add_argument("--texture_detail", type=float, default=0.0)
     parser.add_argument("--texture_noise", type=float, default=0.0)
     parser.add_argument("--global_match", action="store_true")
+    parser.add_argument("--feat_id_weight", type=float, default=0.0)
     parser.add_argument("--iters_eval", type=int, default=3)
     args = parser.parse_args()
 
@@ -77,6 +78,7 @@ def main():
         save_ckpt_freq=args.steps,
         eval_freq=10**9,
         telemetry_freq=50,
+        feat_id_loss_weight=args.feat_id_weight,
         exp_dir=args.exp_dir,
     )
     trainer = Trainer(model, cfg)

@@ -90,6 +90,11 @@ def main():
     parser.add_argument("--fp32", action="store_true",
                         help="override the preset's compute dtype to float32 "
                         "(bf16 ablation)")
+    parser.add_argument("--feat_id_weight", type=float, default=0.0,
+                        help="aux contrastive point-identity loss on encoder "
+                        "features (losses.feature_identity_loss); breaks the "
+                        "corr-pathway chicken-and-egg for from-scratch "
+                        "multi-scene training")
     parser.add_argument("--vis_loss_weight", type=float, default=0.1,
                         help="visibility BCE weight (reference "
                         "configs/train.yaml:44 uses 0.1)")
@@ -169,6 +174,7 @@ def main():
         watchdog_timeout_s=args.watchdog_timeout,
         watchdog_exit=args.watchdog_exit,
         visibility_loss_weight=args.vis_loss_weight,
+        feat_id_loss_weight=args.feat_id_weight,
         sync_every=args.sync_every,
         warm_start_ckpt=args.warm_start,
         eval_freq=args.eval_every if args.eval_every else 10**9,

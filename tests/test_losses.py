@@ -67,3 +67,60 @@ def test_window_validity_masks_padded_and_inactive():
     # Window 1 (frames 2-5; frame 5 padded): point 1 valid from its query
     # frame 3 up to the last real frame 4.
     np.testing.assert_allclose(np.asarray(vw[1, :, 1]), [0.0, 1.0, 1.0, 0.0])
+
+
+def test_feature_identity_loss():
+    """Aux InfoNCE on encoder features: finite, near-chance for random
+    features, near-zero for features that already encode track identity,
+    and it back-propagates into the encoder through scene_loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvtracker_tpu.datasets import synthetic
+    from mvtracker_tpu.training import step as step_lib
+    from mvtracker_tpu.training.losses import feature_identity_loss
+    from mvtracker_tpu.models.mvtracker import MVTracker
+
+    dp = synthetic.render_scene(
+        seed=2, n_views=2, n_frames=6, height=32, width=32, n_tracks=8,
+        texture_noise=1.0,
+    )
+    v, t, h, w = dp.videodepth.shape
+    c, stride = 16, 4
+    rng = np.random.default_rng(0)
+    fmaps = jnp.asarray(rng.normal(size=(v, t, h // stride, w // stride, c)), jnp.float32)
+    args = (jnp.asarray(dp.videodepth), jnp.asarray(dp.intrs), jnp.asarray(dp.extrs),
+            jnp.asarray(dp.trajectory_3d))
+    loss_rand = float(feature_identity_loss(fmaps, *args[:3], args[3], stride=stride))
+    assert np.isfinite(loss_rand)
+    # Random features ~ chance level: around log(N) for N-way InfoNCE.
+    assert loss_rand > 0.5 * np.log(8)
+
+    # scene_loss with feat_id_weight routes gradient into the encoder.
+    model = MVTracker(
+        sliding_window_len=4, fmaps_dim=16, num_heads=2, hidden_size=32,
+        space_depth=1, time_depth=1, num_virtual_tracks=4,
+        corr_n_levels=2, corr_neighbors=4,
+    )
+    scene = {
+        "rgbs": jnp.asarray(dp.video, jnp.float32),
+        "depths": jnp.asarray(dp.videodepth, jnp.float32),
+        "query_points": jnp.asarray(dp.query_points_3d, jnp.float32),
+        "intrs": jnp.asarray(dp.intrs), "extrs": jnp.asarray(dp.extrs),
+        "traj_gt": jnp.asarray(dp.trajectory_3d),
+        "vis_gt": jnp.asarray(dp.visibility.any(0), jnp.float32),
+        "valid": jnp.ones((t, 8), jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), scene["rgbs"], scene["depths"],
+                        scene["query_points"], scene["intrs"], scene["extrs"],
+                        iters=1, is_train=True)
+
+    def fid_only(p):
+        _, parts = step_lib.scene_loss(model, p, scene, iters=1, gamma=0.8,
+                                       vis_weight=0.0, feat_id_weight=1.0)
+        return parts["feat_id"]
+
+    g = jax.grad(fid_only)(params)
+    enc = g["params"]["fnet"]
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(enc))
+    assert np.isfinite(total) and total > 0
