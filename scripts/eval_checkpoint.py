@@ -99,6 +99,9 @@ def main():
                         "mode) to re-verify its metric-neutrality on this "
                         "checkpoint")
     parser.add_argument("--vis_head_hidden", type=int, default=0)
+    parser.add_argument("--fp32", action="store_true",
+                        help="evaluate with float32 compute (models trained "
+                        "fp32; bf16 remains the serving path)")
     parser.add_argument("--corr_k0", type=int, default=0,
                         help="finest-level neighbor count the checkpoint was "
                         "trained with (0 = uniform preset k)")
@@ -136,12 +139,13 @@ def main():
     from mvtracker_tpu.training import step as step_lib
     from mvtracker_tpu.training.train import TrainConfig, Trainer
 
+    over = {"compute_dtype": "float32"} if args.fp32 else {}
     model = build_model(args.model_size, vis_geom=args.vis_geom,
                         vis_head_hidden=args.vis_head_hidden,
                         corr_k0=args.corr_k0,
                         global_match=args.global_match,
                         chain_velocity=args.chain_velocity,
-                        knn_reuse=args.knn_reuse)
+                        knn_reuse=args.knn_reuse, **over)
 
     scene_kw = dict(
         n_views=args.views, n_frames=args.frames, height=args.res,
