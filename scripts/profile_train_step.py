@@ -34,12 +34,19 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--small", action="store_true", help="tiny shapes (CPU smoke)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the container default is "
+                        "the tunneled TPU; env vars alone are too late "
+                        "because sitecustomize pre-imports jax)")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--out_json", default=None)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update(
         "jax_compilation_cache_dir",
