@@ -43,6 +43,16 @@ EVALUATION_SETTINGS = {
         dynamic_threshold=0.1,
         very_dynamic_threshold=2.0,
     ),
+    # DROID robot episodes are metric tabletop scenes like DexYCB; the
+    # north-star metric (median 3D track error, BASELINE.md) is computed
+    # alongside these thresholds by `scripts/eval_droid_track_error.py`.
+    "droid": dict(
+        distance_thresholds=[0.01, 0.02, 0.05, 0.1, 0.2],
+        survival_distance_threshold=0.5,
+        static_threshold=0.01,
+        dynamic_threshold=0.1,
+        very_dynamic_threshold=2.0,
+    ),
 }
 
 

@@ -306,6 +306,14 @@ class MVTracker(nn.Module):
     # management (`mvtracker.py:546-574`). Enable for long videos / large
     # batch training.
     remat: bool = False
+    # Keep the ENCODER out of remat while remat=True: the fmaps are
+    # computed once for the whole video and are small relative to the
+    # per-iteration transformer activations ([V, T, H/4, W/4, C] bf16 =
+    # ~100 MB at the 4x24x256^2 flagship shapes), but rematerializing
+    # them re-runs the full conv stack inside the backward. Measured in
+    # round 5 (scripts/profile_train_step.py): encoder backward+recompute
+    # = 134 ms of a 440 ms flagship train step vs a 22 ms forward.
+    remat_encoder: bool = True
     # Model-internal kNN neighbor-distance statistics (reference
     # `init_stats`/`consume_stats`, `mvtracker.py:190-242`): when True, mean
     # neighbor distances per (window, iteration, level, k-rank) are sowed
@@ -342,7 +350,11 @@ class MVTracker(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
-        enc_cls = nn.remat(BasicEncoder) if self.remat else BasicEncoder
+        enc_cls = (
+            nn.remat(BasicEncoder)
+            if (self.remat and self.remat_encoder)
+            else BasicEncoder
+        )
         uf_cls = nn.remat(EfficientUpdateFormer) if self.remat else EfficientUpdateFormer
         self.fnet = enc_cls(output_dim=self.fmaps_dim, stride=self.stride, dtype=dtype)
         self.updateformer = uf_cls(

@@ -129,6 +129,12 @@ def main():
     variant("full", base)
     variant("fwd_loss_only", base, fwd_only=True)
     variant("no_remat", MVTracker(**model_kw, remat=False))
+    # Selective remat: transformer rematerialized, encoder fmaps saved
+    # (round-5 fix candidate: the encoder runs ONCE for the whole video
+    # and its output is ~100 MB at these shapes, but remat re-runs the
+    # conv stack in the backward — measured 134 ms of the 440 ms step).
+    variant("remat_no_encoder", MVTracker(**model_kw, remat=True,
+                                          remat_encoder=False))
 
     # Ablate the correlation backward: stop gradients into the cloud
     # features (and targets) at the corr_sample boundary.
