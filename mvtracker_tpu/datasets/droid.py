@@ -224,3 +224,66 @@ class DroidEpisodeDataset:
         return load_droid_episode(
             self.episodes[i], max_frames=self.max_frames, cams=self.cams
         )
+
+
+def scale_datapoint_world(dp: Datapoint, scale: float) -> Datapoint:
+    """Similarity-scale a metric Datapoint's world by `scale` in place-free
+    form: depths, camera translations, camera-z, 3D tracks, and queries are
+    multiplied; pixels, intrinsics, and rotations are untouched (the image
+    content of a scaled world is identical).
+
+    This is how metric DROID episodes are brought into a checkpoint's
+    trained world scale for BOTH training (`DroidTrainDataset`) and eval
+    (`scripts/eval_droid_track_error.py` inverts predictions by the same
+    factor).
+    """
+    import dataclasses
+
+    extrs = dp.extrs.copy()
+    extrs[..., 3] *= scale
+    traj = dp.trajectory.copy() if dp.trajectory is not None else None
+    if traj is not None:
+        traj[..., 2] *= scale  # camera z; pixel xy unchanged
+    query = dp.query_points_3d.copy()
+    query[:, 1:4] *= scale
+    return dataclasses.replace(
+        dp,
+        videodepth=dp.videodepth * scale,
+        extrs=extrs,
+        trajectory=traj,
+        trajectory_3d=dp.trajectory_3d * scale,
+        query_points_3d=query,
+    )
+
+
+class DroidTrainDataset(DroidEpisodeDataset):
+    """DROID episodes as TRAINING Datapoints (BASELINE config 4).
+
+    Wraps `DroidEpisodeDataset` with the world-scale similarity adapter so
+    a checkpoint trained on the synthetic domain (median depth ~4 units)
+    can be fine-tuned on metric tabletop episodes without re-learning
+    scale from scratch: `world_scale="auto"` rescales each episode to a
+    target median depth of 4.0 (per-episode factor, matching the eval
+    adapter in `scripts/eval_droid_track_error.py`).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        max_frames: Optional[int] = None,
+        cams: Optional[list[str]] = None,
+        world_scale: float | str = "auto",
+        target_median_depth: float = 4.0,
+    ):
+        super().__init__(root, max_frames=max_frames, cams=cams)
+        self.world_scale = world_scale
+        self.target_median_depth = target_median_depth
+
+    def __getitem__(self, i: int) -> Datapoint:
+        dp = super().__getitem__(i)
+        if self.world_scale == "auto":
+            med = float(np.median(dp.videodepth[dp.videodepth > 0]))
+            s = self.target_median_depth / med
+        else:
+            s = float(self.world_scale)
+        return scale_datapoint_world(dp, s) if s != 1.0 else dp

@@ -94,14 +94,16 @@ def make_raw_episode(
     # gripper puts ~100 px across it; at `width` px this is equivalent to
     # f ~ 1.5 * width at 0.65 m standoff.
     target = np.array([0.47, 0.0, 0.22])
-    focal = 1.5 * width
+    focal = rng.uniform(1.35, 1.65) * width
+    standoff = rng.uniform(0.58, 0.80)
     k = [[focal, 0.0, width / 2], [0.0, focal, height / 2], [0.0, 0.0, 1.0]]
     cam2base = {}
     cam_intrs = {}
     for ci in range(n_external_cams):
         ang = -0.9 + 1.8 * ci / max(n_external_cams - 1, 1) + rng.uniform(-0.1, 0.1)
         cam_pos = target + np.array(
-            [-0.68 * np.cos(ang), 0.68 * np.sin(ang), rng.uniform(0.28, 0.45)]
+            [-standoff * np.cos(ang), standoff * np.sin(ang),
+             rng.uniform(0.28, 0.45)]
         )
         w2c = _look_at(cam_pos, target)  # [3, 4] world->cam
         r_cw = w2c[:, :3].T
