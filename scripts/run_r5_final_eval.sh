@@ -30,8 +30,17 @@ python scripts/eval_checkpoint.py $COMMON --interp 128 192 \
 python scripts/eval_checkpoint.py $COMMON --interp 128 --knn_reuse \
     --out_json RESULTS_r5_knnreuse.json
 
+# bf16-msgpack parity (advisor round-4 #3): score the STAGED ARTIFACT
+# itself (the file a user downloads), not just the fp32 orbax state it
+# was exported from — confirms the cast survives at the headline config.
+python scripts/eval_checkpoint.py --exp_dir /tmp/eval_r5_msgpack \
+    --params_msgpack "$STAGED" --model_size "$SIZE" $VISFLAGS --fp32 \
+    --views 4 --res 128 --frames 12 --n_tracks 32 \
+    --texture_detail 1.0 --texture_noise 1.0 --iters 3 --grid 0 \
+    --interp 128 --out_json RESULTS_r5_msgpack.json
+
 echo "=== gate tables (vs CopyCat) ==="
-for f in RESULTS_r5_main RESULTS_r5_knnreuse; do
+for f in RESULTS_r5_main RESULTS_r5_knnreuse RESULTS_r5_msgpack; do
   echo "--- $f"
   python scripts/compare_results.py "$f.json" || true
 done
