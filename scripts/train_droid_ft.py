@@ -59,6 +59,8 @@ def main():
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--watchdog_exit", action="store_true")
     p.add_argument("--watchdog_timeout", type=float, default=600.0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -69,6 +71,8 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
