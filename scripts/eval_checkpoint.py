@@ -112,7 +112,13 @@ def main():
                         help="constant-velocity chained-window init factor "
                         "(inference-time; works with any checkpoint)")
     parser.add_argument("--thresholds", type=float, nargs="+",
-                        default=[0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+                        # Round-5: the old [0.2..0.8] grid pinned the
+                        # calibration at its 0.2 boundary (the sweep is
+                        # monotone into it on this ~77%-visible domain);
+                        # the argmax actually sits near 0.1 and is worth
+                        # ~+0.6 OA held-out. Chosen on the calibration
+                        # split only — never tuned on eval scenes.
+                        default=[0.02, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5])
     parser.add_argument("--step", type=int, default=0,
                         help="checkpoint step to restore (0 = latest)")
     parser.add_argument("--params_msgpack", default="",
