@@ -95,4 +95,9 @@ def main():
 
 
 if __name__ == "__main__":
+    # Default SIGPIPE so `... | head` truncates quietly instead of raising
+    # BrokenPipeError mid-table.
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     main()
