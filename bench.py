@@ -227,7 +227,13 @@ def main():
     # at the headline bench shapes (4v x 24f x 256^2, 256 tracks, bf16)
     # with remat trading recompute for activation memory.
     # ------------------------------------------------------------------
-    fm = MVTracker(compute_dtype="bfloat16", remat=True)
+    # Selective remat (round-5): keep the update transformer rematerialized
+    # (per-iteration activations are what OOM at these shapes — full
+    # no-remat fails to compile on 16 GB HBM) but SAVE the once-per-video
+    # encoder fmaps (~100 MB) instead of re-running the conv stack inside
+    # the backward. Measured 439.6 -> 389.1 ms at these exact shapes
+    # (RESULTS_r5_profile_train_step.json); numerically identical.
+    fm = MVTracker(compute_dtype="bfloat16", remat=True, remat_encoder=False)
     fscene = _make_scene(rng, v, t, h, w, n)
     fbatch = {
         "rgbs": fscene[0][None], "depths": fscene[1][None],

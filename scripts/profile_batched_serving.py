@@ -52,20 +52,24 @@ def timed(fn, args, reps=8, warmup=2):
     return min(run(reps), run(reps))
 
 
-def timed_scan(step_fn, carry0, inner=32, reps=3):
+def timed_scan(step_fn, carry0, inner=32, reps=3, consts=()):
+    """Scan-loop timing. Large arrays the step reads must go through
+    `consts` (jit PARAMETERS), not closure capture — captured device
+    arrays serialize as HLO constants and the tunneled remote-compile
+    endpoint rejects multi-hundred-MB request bodies (HTTP 413)."""
     import jax
 
     @jax.jit
-    def loop(carry):
+    def loop(carry, consts):
         return jax.lax.scan(
-            lambda c, _: (step_fn(c), None), carry, None, length=inner
+            lambda c, _: (step_fn(c, *consts), None), carry, None, length=inner
         )[0]
 
-    carry = loop(carry0)
+    carry = loop(carry0, consts)
     float(jax.tree.leaves(carry)[0].reshape(-1)[0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        carry = loop(carry)
+        carry = loop(carry, consts)
     float(jax.tree.leaves(carry)[0].reshape(-1)[0])
     return (time.perf_counter() - t0) / (reps * inner)
 
@@ -166,7 +170,7 @@ def main():
         context_wb = jax.tree.map(bput, context_w1)
         coords_b = bput(coords1)
 
-        def knn_step(coords_c):
+        def knn_step(coords_c, ctxs):
             def one(ctx_w, cc):
                 dsum = 0.0
                 for lvl in range(lvls):
@@ -177,9 +181,10 @@ def main():
                     dsum = dsum + d[..., :1] * 0.0
                 return cc + dsum
 
-            return jax.vmap(one)(context_wb, coords_c)
+            return jax.vmap(one)(ctxs, coords_c)
 
-        row["knn_window"] = timed_scan(knn_step, coords_b, inner=16)
+        row["knn_window"] = timed_scan(knn_step, coords_b, inner=16,
+                                       consts=(context_wb,))
 
         # Fused correlation under vmap (fixed kNN indices).
         @jax.jit
@@ -195,7 +200,7 @@ def main():
         idxs_b = knn_idx(context_wb, coords_b)
         ffeats_b = bput(ffeats1)
 
-        def corr_step(ffeats_c):
+        def corr_step(ffeats_c, ctxs, idxs_all, coords_all):
             def one(ctx_w, idxs, ff, cc):
                 outs = []
                 for lvl in range(lvls):
@@ -210,10 +215,11 @@ def main():
                 return ff + fcorrs[..., : model.fmaps_dim] * 0.0
 
             return jax.vmap(one, in_axes=(0, 0, 0, 0))(
-                context_wb, idxs_b, ffeats_c, coords_b
+                ctxs, idxs_all, ffeats_c, coords_all
             )
 
-        row["corr_window"] = timed_scan(corr_step, ffeats_b, inner=16)
+        row["corr_window"] = timed_scan(corr_step, ffeats_b, inner=16,
+                                        consts=(context_wb, idxs_b, coords_b))
 
         # Update transformer under vmap (same standalone-module pattern as
         # profile_components.py).
@@ -236,13 +242,14 @@ def main():
         xb_uf = jnp.ones((b, 1, n, s, d_in), jnp.float32)
         active = jnp.ones((1, n), bool)
 
-        def uf_step(x_c):
+        def uf_step(x_c, ufp):
             def one(x):
-                delta = uf_mod.apply(uf_params, x, track_mask=active)
+                delta = uf_mod.apply(ufp, x, track_mask=active)
                 return x + jnp.mean(delta) * 0.0
             return jax.vmap(one)(x_c)
 
-        row["updateformer"] = timed_scan(uf_step, xb_uf, inner=16)
+        row["updateformer"] = timed_scan(uf_step, xb_uf, inner=16,
+                                         consts=(uf_params,))
 
         report["batches"][b] = {
             k: (round(val * 1e3, 3) if isinstance(val, float) else val)
